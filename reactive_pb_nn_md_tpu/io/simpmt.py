@@ -1,0 +1,111 @@
+"""Simulation-parameter (.pmt) file parser.
+
+Same key/value contract as the reference
+(read_simulation_parameters.f90:24-275): a 'Simulation Methodology' section
+with string-valued keys followed by a 'Simulation Parameters' section with
+numeric keys.  Required keys, defaults and consistency checks mirror the
+reference; compile-time switches of the reference (ms_evb_simulation,
+verlet_allpairs, print_ms_evb_data, glob_v.f90:43-46) are promoted to
+runtime keys here.
+"""
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SimConfig:
+    # methodology (strings)
+    ensemble: str = None                 # NVE | NVT | NPT
+    lj_comb_rule: str = None             # opls | standard
+    ms_evb_simulation: bool = False      # runtime switch (was compile-time)
+    print_ms_evb_data: bool = True
+    verlet_allpairs: bool = False
+
+    # numeric parameters
+    n_step: int = None
+    n_output: int = None
+    n_exclusions: int = None
+    checkpoint_velocity: int = 0         # cadence; 0 = off
+    temperature: float = None
+    initial_temp: float = None
+    friction_coeff: float = 0.1
+    pressure: float = None
+    barofreq: int = 25
+    baroscale: float = 0.01
+    delta_t: float = None
+    real_space_cutoff: float = None
+    verlet_cutoff: float = None
+    na_nslist: int = 0
+    nb_nslist: int = 0
+    nc_nslist: int = 0
+    alpha_sqrt: float = 0.3
+    pme_grid: int = 60
+    spline_order: int = 6
+    n_threads: int = 1                   # accepted for compatibility; unused
+    debug: int = 0
+
+    # TPU-native extensions
+    precision: str = "fp32"              # fp32 | fp64 | mixed
+    evb_max_states: int = 80
+    evb_max_chain: int = 3
+    evb_max_neighbors: int = 10
+    seed: int = 0
+
+    def validate(self):
+        required = ["ensemble", "n_step", "n_output", "temperature",
+                    "n_exclusions", "real_space_cutoff", "delta_t",
+                    "verlet_cutoff", "lj_comb_rule"]
+        for k in required:
+            if getattr(self, k) is None:
+                raise ValueError(f"required simulation parameter '{k}' "
+                                 f"missing from simulation parameter file")
+        if self.ensemble == "NPT" and self.pressure is None:
+            raise ValueError("pressure required for NPT ensemble")
+        if self.initial_temp is None:
+            self.initial_temp = self.temperature
+        if self.spline_order not in (4, 6):
+            raise ValueError("spline_order must be 4 or 6")
+        return self
+
+
+_STRING_KEYS = {
+    "ensemble": "ensemble",
+    "lj_comb_rule": "lj_comb_rule",
+}
+_BOOL_STRING_KEYS = {
+    "ms_evb_simulation": "ms_evb_simulation",
+    "print_ms_evb_data": "print_ms_evb_data",
+    "verlet_allpairs": "verlet_allpairs",
+}
+_INT_KEYS = {"n_step", "n_output", "n_exclusions", "checkpoint_velocity",
+             "barofreq", "na_nslist", "nb_nslist", "nc_nslist", "pme_grid",
+             "spline_order", "n_threads", "debug", "evb_max_states",
+             "evb_max_chain", "evb_max_neighbors", "seed"}
+_FLOAT_KEYS = {"temperature", "initial_temp", "friction_coeff", "pressure",
+               "baroscale", "delta_t", "real_space_cutoff", "verlet_cutoff",
+               "alpha_sqrt"}
+
+
+def read_sim_params(path) -> SimConfig:
+    cfg = SimConfig()
+    with open(path) as f:
+        lines = f.read().splitlines()
+
+    for line in lines:
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        key, val = parts[0], parts[1]
+        if key in _STRING_KEYS:
+            setattr(cfg, _STRING_KEYS[key], val)
+        elif key in _BOOL_STRING_KEYS:
+            setattr(cfg, _BOOL_STRING_KEYS[key],
+                    val.lower() in ("yes", "true", "1"))
+        elif key == "precision":
+            cfg.precision = val
+        elif key in _INT_KEYS:
+            setattr(cfg, key, int(round(float(val))))
+        elif key in _FLOAT_KEYS:
+            setattr(cfg, key, float(val))
+
+    return cfg.validate()

@@ -1,0 +1,139 @@
+"""Intra-molecular bonded terms: bonds, angles, dihedrals.
+
+Function types and formulas match intra_bonded_interactions.f90:
+
+  bonds (125-168)      1 harmonic  E = k/2 (r-b0)^2
+                       2 GROMOS-96 E = k/4 (r^2-b0^2)^2
+                       3 Morse     E = D (1-e^{-beta(r-b0)})^2
+  angles (219-284)     1 harmonic in theta, 2 cosine-based
+  dihedrals (343-552)  1 proper k(1+cos(n xi - xi0)),
+                       2 improper harmonic with pi/2 folding,
+                       3 Ryckaert-Bellemans (odd cosine terms negated)
+
+Evaluated as a flat gather-compute over (molecule x template-slot) tensors
+(vmapped across diabats by the EVB layer); forces via autodiff, with acos
+clamped exactly like the reference's numerical guards (:240-247, :404-411).
+No minimum image: molecules are kept whole by convention.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..topology import System, Topology
+
+
+def _safe_acos(c):
+    eps = 1e-9
+    return jnp.arccos(jnp.clip(c, -1.0 + eps, 1.0 - eps))
+
+
+def _gather_pairs(topo, system, idx_table):
+    """Resolve template index tables to global atom indices.
+
+    idx_table: (MT, S, arity) local slot indices, -1 padded.
+    Returns (global_idx (M*S, arity), mask (M*S,)).
+    """
+    mt_of_mol = topo.mol_mtype                        # (M,)
+    table = idx_table[mt_of_mol]                      # (M, S, arity)
+    mask = table[..., 0] >= 0                         # (M, S)
+    safe = jnp.maximum(table, 0)
+    gidx = jnp.take_along_axis(
+        topo.mol_atoms[:, None, :],                   # (M, 1, A)
+        safe, axis=2)                                 # (M, S, arity)
+    M, S, ar = gidx.shape
+    return gidx.reshape(M * S, ar), mask.reshape(M * S)
+
+
+def bond_energy(x, topo: Topology, system: System):
+    ff = system.ff
+    gidx, mask = _gather_pairs(topo, system, system.mt.bonds)
+    ti = topo.atom_type[gidx[:, 0]]
+    tj = topo.atom_type[gidx[:, 1]]
+    func = ff.bond_func[ti, tj]
+    p = ff.bond_params[ti, tj]
+
+    dr = x[gidx[:, 0]] - x[gidx[:, 1]]
+    r2 = jnp.sum(dr * dr, axis=-1)
+    r2 = jnp.where(mask, r2, 1.0)
+    r = jnp.sqrt(r2)
+
+    e_harm = 0.5 * p[:, 1] * (r - p[:, 0]) ** 2
+    e_g96 = 0.25 * p[:, 1] * (r2 - p[:, 0] ** 2) ** 2
+    morse_exp = jnp.exp(-p[:, 1] * (r - p[:, 2]))
+    e_morse = p[:, 0] * (1.0 - morse_exp) ** 2
+    e = jnp.where(func == 1, e_harm,
+                  jnp.where(func == 2, e_g96,
+                            jnp.where(func == 3, e_morse, 0.0)))
+    return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def angle_energy(x, topo: Topology, system: System):
+    ff = system.ff
+    gidx, mask = _gather_pairs(topo, system, system.mt.angles)
+    ti = topo.atom_type[gidx[:, 0]]
+    tj = topo.atom_type[gidx[:, 1]]
+    tk = topo.atom_type[gidx[:, 2]]
+    func = ff.angle_func[ti, tj, tk]
+    p = ff.angle_params[ti, tj, tk]
+
+    r_ij = x[gidx[:, 0]] - x[gidx[:, 1]]
+    r_kj = x[gidx[:, 2]] - x[gidx[:, 1]]
+    nij2 = jnp.where(mask, jnp.sum(r_ij * r_ij, -1), 1.0)
+    nkj2 = jnp.where(mask, jnp.sum(r_kj * r_kj, -1), 1.0)
+    cos_t = jnp.sum(r_ij * r_kj, -1) / jnp.sqrt(nij2 * nkj2)
+
+    theta = _safe_acos(cos_t)
+    e_harm = 0.5 * p[:, 1] * (theta - p[:, 0]) ** 2
+    e_cos = 0.5 * p[:, 1] * (cos_t - jnp.cos(p[:, 0])) ** 2
+    e = jnp.where(func == 1, e_harm, jnp.where(func == 2, e_cos, 0.0))
+    return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def dihedral_energy(x, topo: Topology, system: System):
+    ff = system.ff
+    gidx, mask = _gather_pairs(topo, system, system.mt.dihedrals)
+    t = [topo.atom_type[gidx[:, k]] for k in range(4)]
+    func = ff.dihedral_func[t[0], t[1], t[2], t[3]]
+    p = ff.dihedral_params[t[0], t[1], t[2], t[3]]
+
+    r_ji = x[gidx[:, 1]] - x[gidx[:, 0]]
+    r_kj = x[gidx[:, 2]] - x[gidx[:, 1]]
+    r_lk = x[gidx[:, 3]] - x[gidx[:, 2]]
+
+    # triple-product form used by the reference (intra_bonded:361-402):
+    # alpha = r_ji x r_kj, beta = r_kj x r_lk, cos xi = a.b/|a||b|
+    d_kj_ji = jnp.sum(r_kj * r_ji, -1)
+    d_lk_kj = jnp.sum(r_lk * r_kj, -1)
+    d_lk_ji = jnp.sum(r_lk * r_ji, -1)
+    nji2 = jnp.sum(r_ji * r_ji, -1)
+    nkj2 = jnp.sum(r_kj * r_kj, -1)
+    nlk2 = jnp.sum(r_lk * r_lk, -1)
+
+    a_dot_b = d_kj_ji * d_lk_kj - d_lk_ji * nkj2
+    a_dot_a = jnp.where(mask, nji2 * nkj2 - d_kj_ji ** 2, 1.0)
+    b_dot_b = jnp.where(mask, nlk2 * nkj2 - d_lk_kj ** 2, 1.0)
+    a_dot_a = jnp.maximum(a_dot_a, 1e-12)
+    b_dot_b = jnp.maximum(b_dot_b, 1e-12)
+    cos_xi = a_dot_b / jnp.sqrt(a_dot_a * b_dot_b)
+    xi = _safe_acos(cos_xi)
+
+    # proper
+    e_proper = p[:, 1] * (1.0 + jnp.cos(p[:, 2] * xi - p[:, 0]))
+    # improper: fold to [0, pi/2] (intra_bonded:469-474)
+    xi_fold = jnp.where(xi > jnp.pi / 2.0, jnp.abs(xi - jnp.pi), xi)
+    e_improper = 0.5 * p[:, 1] * (xi_fold - p[:, 0]) ** 2
+    # Ryckaert-Bellemans with negated odd powers (intra_bonded:529-530)
+    c = cos_xi
+    e_rb = (p[:, 0] - p[:, 1] * c + p[:, 2] * c ** 2 - p[:, 3] * c ** 3
+            + p[:, 4] * c ** 4 - p[:, 5] * c ** 5)
+
+    e = jnp.where(func == 1, e_proper,
+                  jnp.where(func == 2, e_improper,
+                            jnp.where(func == 3, e_rb, 0.0)))
+    return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def bonded_energies(x, topo: Topology, system: System):
+    return (bond_energy(x, topo, system),
+            angle_energy(x, topo, system),
+            dihedral_energy(x, topo, system))

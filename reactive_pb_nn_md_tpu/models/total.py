@@ -1,0 +1,147 @@
+"""Total energy aggregation (non-reactive path).
+
+Maps calculate_total_force_energy (total_energy_forces.f90:19-99) to a pure
+function of positions.  Components:
+
+  inter-molecular real space : Ewald erfc + LJ/SAPT over the neighbor list
+                               (pairwise_real_space_verlet)
+  intra-molecular nonbonded  : exclusion-coded template pairs, erfc with
+                               cutoff, vdW without cutoff, -erf corrections
+                               (intra_molecular_pairwise_energy_force)
+  PME reciprocal + Ewald self
+  bonds / angles / dihedrals
+
+Forces = -jax.grad(total).  The same functions are vmapped over the diabat
+axis by the EVB layer: topology enters only through index/charge arrays.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..topology import System, Topology
+from ..utils import pbc
+from ..utils.constants import CONV_E2A_KJMOL
+from . import nonbonded, bonded, pme
+
+
+@struct.dataclass
+class EnergyBreakdown:
+    total: jnp.ndarray
+    elec: jnp.ndarray
+    vdw: jnp.ndarray
+    bond: jnp.ndarray
+    angle: jnp.ndarray
+    dihedral: jnp.ndarray
+
+
+def realspace_inter(x, box, topo: Topology, system: System, pairs):
+    """Inter-molecular real-space energy over the padded half pair list.
+
+    pairs: (i, j, mask) flat arrays.  Same-molecule pairs are masked here
+    (the diabat's own molecule assignment decides inter vs intra)."""
+    i, j, mask = pairs
+    inter = mask & (topo.atom_mol[i] != topo.atom_mol[j])
+
+    dr = x[i] - x[j]
+    dr = pbc.min_image(dr, box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    within = inter & (r2 < system.real_space_cutoff ** 2)
+    r2s = jnp.where(within, r2, 1.0)
+    r = jnp.sqrt(r2s)
+
+    qq = topo.charge[i] * topo.charge[j]
+    e_elec = nonbonded.ewald_real(qq, r, system.alpha_sqrt)
+
+    ti, tj = topo.atom_type[i], topo.atom_type[j]
+    vtype = system.ff.vdw_type[ti, tj]
+    params = system.ff.vdw_params[ti, tj]
+    e_vdw = nonbonded.vdw_pair_energy(
+        vtype, params, params, jnp.zeros_like(within), r, r2s)
+
+    zero = jnp.zeros_like(e_elec)
+    return (jnp.sum(jnp.where(within, e_elec, zero)),
+            jnp.sum(jnp.where(within, e_vdw, zero)))
+
+
+def intra_nonbonded(x, topo: Topology, system: System):
+    """Intra-molecular nonbonded over per-type template pairs.
+
+    Exclusion codes (intra_bonded_interactions.f90:574-617): 1 = excluded
+    (gets only the -erf reciprocal correction), 2 = 1-4 (special C12/C6),
+    0 = normal.  No minimum image (molecules whole); vdW has no cutoff,
+    electrostatics does (pair_int_real_space.f90:386-588)."""
+    A = system.max_atoms_per_mol
+    iu, ju = np.triu_indices(A, 1)
+    iu = jnp.asarray(iu, jnp.int32)
+    ju = jnp.asarray(ju, jnp.int32)
+
+    mt = topo.mol_mtype                                   # (M,)
+    natom = system.mt.natom[mt]                           # (M,)
+    valid = (ju[None, :] < natom[:, None])                # (M, S)
+    code = system.mt.excl_code[mt[:, None], iu[None, :], ju[None, :]]
+
+    gi = jnp.take_along_axis(topo.mol_atoms, jnp.broadcast_to(
+        iu[None, :], (mt.shape[0], iu.shape[0])), axis=1)
+    gj = jnp.take_along_axis(topo.mol_atoms, jnp.broadcast_to(
+        ju[None, :], (mt.shape[0], ju.shape[0])), axis=1)
+    gi = jnp.maximum(gi, 0).reshape(-1)
+    gj = jnp.maximum(gj, 0).reshape(-1)
+    valid = valid.reshape(-1)
+    code = code.reshape(-1)
+
+    dr = x[gi] - x[gj]
+    r2 = jnp.sum(dr * dr, axis=-1)
+    r2 = jnp.where(valid, r2, 1.0)
+    r = jnp.sqrt(r2)
+    qq = topo.charge[gi] * topo.charge[gj]
+
+    excluded = valid & (code == 1)
+    nonexcl = valid & (code != 1)
+    is_14 = code == 2
+
+    e_corr = nonbonded.ewald_exclusion_correction(qq, r, system.alpha_sqrt)
+    within = nonexcl & (r2 < system.real_space_cutoff ** 2)
+    e_elec = nonbonded.ewald_real(qq, r, system.alpha_sqrt)
+
+    ti, tj = topo.atom_type[gi], topo.atom_type[gj]
+    vtype = system.ff.vdw_type[ti, tj]
+    params = system.ff.vdw_params[ti, tj]
+    params14 = system.ff.vdw_params_14[ti, tj]
+    e_vdw = nonbonded.vdw_pair_energy(vtype, params, params14, is_14, r, r2)
+
+    zero = jnp.zeros_like(e_elec)
+    E_elec = (jnp.sum(jnp.where(excluded, e_corr, zero))
+              + jnp.sum(jnp.where(within, e_elec, zero)))
+    E_vdw = jnp.sum(jnp.where(nonexcl, e_vdw, zero))
+    return E_elec, E_vdw
+
+
+def total_energy(x, box, topo: Topology, system: System, pairs, cbw):
+    """Full potential energy of one topology (= one diabat diagonal, minus
+    the EVB repulsion/reference terms handled by the EVB layer)."""
+    e_real_elec, e_real_vdw = realspace_inter(x, box, topo, system, pairs)
+    e_intra_elec, e_intra_vdw = intra_nonbonded(x, topo, system)
+
+    K = system.pme_grid
+    Q = pme.charge_grid(x, topo.charge, box, K, system.spline_order)
+    e_recip = pme.recip_energy(Q, cbw)
+    e_self = pme.ewald_self(topo.charge, system.alpha_sqrt)
+
+    e_bond, e_angle, e_dihedral = bonded.bonded_energies(x, topo, system)
+
+    e_elec = e_real_elec + e_intra_elec + e_recip + e_self
+    e_vdw = e_real_vdw + e_intra_vdw
+    total = e_elec + e_vdw + e_bond + e_angle + e_dihedral
+    return EnergyBreakdown(total=total, elec=e_elec, vdw=e_vdw,
+                           bond=e_bond, angle=e_angle, dihedral=e_dihedral)
+
+
+def total_energy_and_forces(x, box, topo, system, pairs, cbw):
+    def etot(xx):
+        bd = total_energy(xx, box, topo, system, pairs, cbw)
+        return bd.total, bd
+
+    (_, bd), g = jax.value_and_grad(etot, has_aux=True)(x)
+    return bd, -g

@@ -1,0 +1,464 @@
+"""System compilation: parsers' raw output -> static device pytrees.
+
+TPU-first design: all molecular structure is expressed as fixed-shape index
+tensors so that every downstream computation is a gather/compute/scatter
+under jit.  The reference's pointer-and-allocatable representation
+(glob_v.f90:157-337) maps to:
+
+  ForceField     dense per-type parameter tables        [T,...]
+  MolTypeTable   padded per-molecule-type templates     [MT, A, ...]
+  EvbParams      dense EVB interaction tables           [T,T,T,...]
+  Topology       the *dynamic* molecular assignment     [M, A] / [N]
+                 (this is the only thing a proton hop changes)
+
+Padding convention: invalid atom slots hold index -1; gathers use
+clamp-to-0 + mask.
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from .io.gro import GroFrame
+from .io.ffpmt import RawForceField, compile_vdw_tables
+from .io.topfile import TopologyFileRaw
+from .io.simpmt import SimConfig
+from .utils.dtypes import default_float
+
+
+# --------------------------------------------------------------------------
+# pytree containers
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class ForceField:
+    charge_by_type: jnp.ndarray          # (T,)
+    mass_by_type: jnp.ndarray            # (T,)
+    freeze_by_type: jnp.ndarray          # (T,) int32
+    vdw_type: jnp.ndarray                # (T,T) int32: 0 LJ, 1 SAPT, -1 none
+    vdw_params: jnp.ndarray              # (T,T,6)
+    vdw_params_14: jnp.ndarray           # (T,T,6)
+    bond_func: jnp.ndarray               # (T,T) int32
+    bond_params: jnp.ndarray             # (T,T,3)
+    angle_func: jnp.ndarray              # (T,T,T) int32
+    angle_params: jnp.ndarray            # (T,T,T,2)
+    dihedral_func: jnp.ndarray           # (T,T,T,T) int32
+    dihedral_params: jnp.ndarray         # (T,T,T,T,6)
+    atype_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+
+
+@struct.dataclass
+class MolTypeTable:
+    natom: jnp.ndarray                   # (MT,) int32
+    atype: jnp.ndarray                   # (MT,A) int32, -1 pad
+    mass: jnp.ndarray                    # (MT,A)
+    bonds: jnp.ndarray                   # (MT,B,2) int32, -1 pad
+    angles: jnp.ndarray                  # (MT,G,3)
+    dihedrals: jnp.ndarray               # (MT,D,4)
+    excl_code: jnp.ndarray               # (MT,A,A) int32 {0,1,2}
+    reactive_protons: jnp.ndarray        # (MT,A) int32
+    reactive_bases: jnp.ndarray          # (MT,A) int32
+    is_acid: jnp.ndarray                 # (MT,) int32
+    is_base: jnp.ndarray                 # (MT,) int32
+    conjugate_mtype: jnp.ndarray         # (MT,) int32 (identity if not reactive)
+    proton_atype: jnp.ndarray            # (MT,) int32, -1 if not acid
+    heavy_atype: jnp.ndarray             # (MT,) int32, -1 if not acid
+    reference_energy: jnp.ndarray        # (MT,)
+    mtype_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+
+
+@struct.dataclass
+class EvbParams:
+    conjugate_atype: jnp.ndarray         # (T,) int32, identity default
+    exchange_q_atype: jnp.ndarray        # (T,)
+    exchange_q_proton: jnp.ndarray       # (MT,MT)
+    da_mask: jnp.ndarray                 # (T,T,T) bool  (acceptor, heavy, H)
+    da_params: jnp.ndarray               # (T,T,T,6)  B b d0 b' rs rc
+    pa_mask: jnp.ndarray                 # (T,T) bool (acceptor, H)
+    pa_params: jnp.ndarray               # (T,T,5)  C c d0 rs rc
+    cpl_func: jnp.ndarray                # (T,T,T) int32, 0 = none
+    cpl_params: jnp.ndarray              # (T,T,T,10)
+    # PB-NN coupling (function type 3): MLP weights, shared across triples
+    nn_params: Optional[dict] = None
+
+
+@struct.dataclass
+class Topology:
+    """Dynamic molecular assignment. A proton hop permutes nothing in memory;
+    it only rewrites these index/charge arrays (contrast with the reference's
+    array-shifting machinery, ms_evb.f90:2677-2840)."""
+    mol_mtype: jnp.ndarray               # (M,) int32
+    mol_natom: jnp.ndarray               # (M,) int32
+    mol_atoms: jnp.ndarray               # (M,A) int32, -1 pad
+    atom_mol: jnp.ndarray                # (N,) int32
+    atom_slot: jnp.ndarray               # (N,) int32
+    atom_type: jnp.ndarray               # (N,) int32
+    charge: jnp.ndarray                  # (N,)
+    hydronium_mol: jnp.ndarray           # () int32, -1 if non-reactive
+
+
+@struct.dataclass
+class System:
+    """Immutable per-run data + static configuration."""
+    ff: ForceField
+    mt: MolTypeTable
+    evb: Optional[EvbParams]
+    mass: jnp.ndarray                    # (N,) constant across diabats
+    # static configuration (specializes the jitted programs)
+    n_atoms: int = struct.field(pytree_node=False, default=0)
+    n_mole: int = struct.field(pytree_node=False, default=0)
+    max_atoms_per_mol: int = struct.field(pytree_node=False, default=0)
+    real_space_cutoff: float = struct.field(pytree_node=False, default=0.0)
+    verlet_cutoff: float = struct.field(pytree_node=False, default=0.0)
+    alpha_sqrt: float = struct.field(pytree_node=False, default=0.3)
+    pme_grid: int = struct.field(pytree_node=False, default=60)
+    spline_order: int = struct.field(pytree_node=False, default=6)
+    n_exclusions: int = struct.field(pytree_node=False, default=2)
+    evb_max_states: int = struct.field(pytree_node=False, default=80)
+    evb_max_chain: int = struct.field(pytree_node=False, default=3)
+    evb_max_neighbors: int = struct.field(pytree_node=False, default=10)
+    ms_evb: bool = struct.field(pytree_node=False, default=False)
+
+
+@struct.dataclass
+class State:
+    x: jnp.ndarray                       # (N,3) Angstrom
+    v: jnp.ndarray                       # (N,3) A/ps
+    box: jnp.ndarray                     # (3,3)
+    key: jnp.ndarray                     # PRNG key
+    step: jnp.ndarray                    # () int32
+
+
+# --------------------------------------------------------------------------
+# exclusion generation (mirrors intra_bonded_interactions.f90:574-660)
+# --------------------------------------------------------------------------
+
+def generate_exclusions(n_atom, bonds, n_exclusions, explicit=()):
+    """Exclusion codes per atom pair: 1 = excluded, 2 = special 1-4,
+    0 = normal. Self pairs are 1."""
+    code = np.zeros((n_atom, n_atom), dtype=np.int32)
+    for (i, j) in explicit:
+        code[i, j] = code[j, i] = 1
+    np.fill_diagonal(code, 1)
+
+    adj = np.zeros((n_atom, n_atom), dtype=bool)
+    for (i, j) in bonds:
+        adj[i, j] = adj[j, i] = True
+
+    # BFS distances over the bond graph
+    dist = np.full((n_atom, n_atom), 10 ** 6, dtype=np.int64)
+    np.fill_diagonal(dist, 0)
+    for start in range(n_atom):
+        frontier = [start]
+        d = 0
+        seen = {start}
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in np.nonzero(adj[u])[0]:
+                    if v not in seen:
+                        seen.add(v)
+                        dist[start, v] = d
+                        nxt.append(v)
+            frontier = nxt
+
+    max_search = max(n_exclusions, 3)
+    for i in range(n_atom):
+        for j in range(n_atom):
+            if i == j:
+                continue
+            d = dist[i, j]
+            if d <= max_search:
+                if d == 3 and n_exclusions < 3 and code[i, j] != 1:
+                    code[i, j] = 2
+                elif d <= n_exclusions:
+                    code[i, j] = 1
+    return code
+
+
+# --------------------------------------------------------------------------
+# system building
+# --------------------------------------------------------------------------
+
+def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
+                 cfg: SimConfig):
+    """Compile parsed inputs into (System, Topology, State-positions)."""
+    f = default_float()
+    T = ff_raw.n_types
+    names = ff_raw.names
+
+    def atype_id(name):
+        try:
+            return names.index(name)
+        except ValueError:
+            raise ValueError(f"atom type {name!r} not in force-field file")
+
+    # ---------------- force field tables
+    vdw_type, vdw_params, vdw_params_14 = compile_vdw_tables(
+        ff_raw, cfg.lj_comb_rule)
+
+    bond_func = np.zeros((T, T), dtype=np.int32)
+    bond_params = np.zeros((T, T, 3))
+    for (a, b), (func, params) in top_raw.bond_types.items():
+        ia, ib = atype_id(a), atype_id(b)
+        bond_func[ia, ib] = func
+        bond_params[ia, ib] = params
+
+    angle_func = np.zeros((T, T, T), dtype=np.int32)
+    angle_params = np.zeros((T, T, T, 2))
+    for (a, b, c), (func, params) in top_raw.angle_types.items():
+        ia, ib, ic = atype_id(a), atype_id(b), atype_id(c)
+        angle_func[ia, ib, ic] = func
+        angle_params[ia, ib, ic] = params
+
+    dihedral_func = np.zeros((T, T, T, T), dtype=np.int32)
+    dihedral_params = np.zeros((T, T, T, T, 6))
+    for (a, b, c, d), (func, params) in top_raw.dihedral_types.items():
+        ia, ib, ic, id_ = atype_id(a), atype_id(b), atype_id(c), atype_id(d)
+        dihedral_func[ia, ib, ic, id_] = func
+        dihedral_params[ia, ib, ic, id_] = params
+
+    # masses per atom type, gathered from moleculetype [ atoms ] sections
+    mass_by_type = np.full((T,), -1.0)
+    for mt in top_raw.molecule_types:
+        for aname, m in zip(mt.atom_names, mt.masses):
+            ti = atype_id(aname)
+            if mass_by_type[ti] < 0:
+                mass_by_type[ti] = m
+            elif abs(mass_by_type[ti] - m) > 1e-6:
+                raise ValueError(f"inconsistent mass for atom type {aname}")
+
+    ff = ForceField(
+        charge_by_type=jnp.asarray(ff_raw.charge, f),
+        mass_by_type=jnp.asarray(np.maximum(mass_by_type, 0.0), f),
+        freeze_by_type=jnp.asarray(ff_raw.freeze, jnp.int32),
+        vdw_type=jnp.asarray(vdw_type, jnp.int32),
+        vdw_params=jnp.asarray(vdw_params, f),
+        vdw_params_14=jnp.asarray(vdw_params_14, f),
+        bond_func=jnp.asarray(bond_func, jnp.int32),
+        bond_params=jnp.asarray(bond_params, f),
+        angle_func=jnp.asarray(angle_func, jnp.int32),
+        angle_params=jnp.asarray(angle_params, f),
+        dihedral_func=jnp.asarray(dihedral_func, jnp.int32),
+        dihedral_params=jnp.asarray(dihedral_params, f),
+        atype_names=tuple(names),
+    )
+
+    # ---------------- molecule type templates
+    mtypes = top_raw.molecule_types
+    mtype_names = [m.name for m in mtypes]
+    MT = len(mtypes)
+    A = max(m.n_atom for m in mtypes)
+    B = max(max((len(m.bonds) for m in mtypes)), 1)
+    G = max(max((len(m.angles) for m in mtypes)), 1)
+    D = max(max((len(m.dihedrals) for m in mtypes)), 1)
+
+    natom = np.array([m.n_atom for m in mtypes], dtype=np.int32)
+    atype = np.full((MT, A), -1, dtype=np.int32)
+    mmass = np.zeros((MT, A))
+    bonds = np.full((MT, B, 2), -1, dtype=np.int32)
+    angles = np.full((MT, G, 3), -1, dtype=np.int32)
+    dihedrals = np.full((MT, D, 4), -1, dtype=np.int32)
+    excl = np.ones((MT, A, A), dtype=np.int32)
+
+    for k, m in enumerate(mtypes):
+        na = m.n_atom
+        atype[k, :na] = [atype_id(an) for an in m.atom_names]
+        mmass[k, :na] = m.masses
+        for ib, bnd in enumerate(m.bonds):
+            bonds[k, ib] = bnd
+        for ia, ang in enumerate(m.angles):
+            angles[k, ia] = ang
+        for idd, dih in enumerate(m.dihedrals):
+            dihedrals[k, idd] = dih
+        excl[k, :na, :na] = generate_exclusions(
+            na, m.bonds, cfg.n_exclusions, m.explicit_exclusions)
+
+    def mtype_id(name):
+        try:
+            return mtype_names.index(name)
+        except ValueError:
+            raise ValueError(f"molecule type {name!r} not in topology file")
+
+    # ---------------- EVB topology/parameters
+    is_acid = np.zeros((MT,), dtype=np.int32)
+    is_base = np.zeros((MT,), dtype=np.int32)
+    conjugate_mtype = np.arange(MT, dtype=np.int32)
+    proton_atype = np.full((MT,), -1, dtype=np.int32)
+    heavy_atype = np.full((MT,), -1, dtype=np.int32)
+    reference_energy = np.zeros((MT,))
+    reactive_protons = np.zeros((MT, A), dtype=np.int32)
+    reactive_bases = np.zeros((MT, A), dtype=np.int32)
+
+    evb = None
+    if top_raw.has_evb and cfg.ms_evb_simulation:
+        conjugate_atype = np.arange(T, dtype=np.int32)
+        exchange_q_atype = np.zeros((T,))
+        exchange_q_proton = np.zeros((MT, MT))
+        da_mask = np.zeros((T, T, T), dtype=bool)
+        da_params = np.zeros((T, T, T, 6))
+        pa_mask = np.zeros((T, T), dtype=bool)
+        pa_params = np.zeros((T, T, 5))
+        cpl_func = np.zeros((T, T, T), dtype=np.int32)
+        cpl_params = np.zeros((T, T, T, 10))
+
+        for name, e in top_raw.reference_energy.items():
+            reference_energy[mtype_id(name)] = e
+        for (key, params) in top_raw.donor_acceptor:
+            i, j, k = (atype_id(x) for x in key)
+            da_mask[i, j, k] = True
+            da_params[i, j, k] = params
+        for (key, params) in top_raw.proton_acceptor:
+            i, j = (atype_id(x) for x in key)
+            pa_mask[i, j] = True
+            pa_params[i, j] = params
+        for (key, func, params) in top_raw.diabat_coupling:
+            i, j, k = (atype_id(x) for x in key)
+            cpl_func[i, j, k] = func
+            cpl_params[i, j, k] = params
+        for name, q in top_raw.exchange_charge_atomic.items():
+            exchange_q_atype[atype_id(name)] = q
+        for (n1, n2), q in top_raw.exchange_charge_proton.items():
+            exchange_q_proton[mtype_id(n1), mtype_id(n2)] = q
+            exchange_q_proton[mtype_id(n2), mtype_id(n1)] = q
+
+        for pair in top_raw.evb_pairs:
+            ia, ib = mtype_id(pair.acid_name), mtype_id(pair.base_name)
+            is_acid[ia] = 1
+            is_base[ib] = 1
+            conjugate_mtype[ia] = ib
+            conjugate_mtype[ib] = ia
+            proton_atype[ia] = atype_id(pair.proton_type)
+            heavy_atype[ia] = atype_id(pair.heavy_type)
+            for idx, v in pair.acid_reactive_protons.items():
+                reactive_protons[ia, idx] = v
+            for idx, v in pair.base_reactive_protons.items():
+                reactive_protons[ib, idx] = v
+            for idx, v in pair.acid_acceptor_atoms.items():
+                reactive_bases[ia, idx] = v
+            for idx, v in pair.base_acceptor_atoms.items():
+                reactive_bases[ib, idx] = v
+            # order matters: later lines overwrite (see example .top comment)
+            for (a1, a2) in pair.conjugate_atoms:
+                t1, t2 = atype_id(a1), atype_id(a2)
+                conjugate_atype[t1] = t2
+                conjugate_atype[t2] = t1
+
+        # consistency: acidic protons must be stored last (ms_evb.f90:144-167)
+        for k in range(MT):
+            if is_acid[k]:
+                seen_h = False
+                for i in range(natom[k]):
+                    if reactive_protons[k, i] == 1:
+                        seen_h = True
+                    elif seen_h:
+                        raise ValueError(
+                            f"acidic protons must be last in molecule "
+                            f"{mtype_names[k]}")
+
+        evb = EvbParams(
+            conjugate_atype=jnp.asarray(conjugate_atype, jnp.int32),
+            exchange_q_atype=jnp.asarray(exchange_q_atype, f),
+            exchange_q_proton=jnp.asarray(exchange_q_proton, f),
+            da_mask=jnp.asarray(da_mask),
+            da_params=jnp.asarray(da_params, f),
+            pa_mask=jnp.asarray(pa_mask),
+            pa_params=jnp.asarray(pa_params, f),
+            cpl_func=jnp.asarray(cpl_func, jnp.int32),
+            cpl_params=jnp.asarray(cpl_params, f),
+        )
+
+    mt = MolTypeTable(
+        natom=jnp.asarray(natom),
+        atype=jnp.asarray(atype),
+        mass=jnp.asarray(mmass, f),
+        bonds=jnp.asarray(bonds),
+        angles=jnp.asarray(angles),
+        dihedrals=jnp.asarray(dihedrals),
+        excl_code=jnp.asarray(excl),
+        reactive_protons=jnp.asarray(reactive_protons),
+        reactive_bases=jnp.asarray(reactive_bases),
+        is_acid=jnp.asarray(is_acid),
+        is_base=jnp.asarray(is_base),
+        conjugate_mtype=jnp.asarray(conjugate_mtype),
+        proton_atype=jnp.asarray(proton_atype),
+        heavy_atype=jnp.asarray(heavy_atype),
+        reference_energy=jnp.asarray(reference_energy, f),
+        mtype_names=tuple(mtype_names),
+    )
+
+    # ---------------- per-configuration topology from the .gro frame
+    M = gro.n_mole
+    N = gro.n_atoms
+    mol_mtype = np.zeros((M,), dtype=np.int32)
+    mol_natom_arr = np.zeros((M,), dtype=np.int32)
+    mol_atoms = np.full((M, A), -1, dtype=np.int32)
+    atom_mol = np.zeros((N,), dtype=np.int32)
+    atom_slot = np.zeros((N,), dtype=np.int32)
+    atom_type_arr = np.zeros((N,), dtype=np.int32)
+
+    for m in range(M):
+        k = mtype_id(gro.mol_names[m])
+        first = int(gro.mol_first_atom[m])
+        na = int(gro.mol_natom[m])
+        if na != int(natom[k]):
+            raise ValueError(
+                f"molecule {m} ({gro.mol_names[m]}) has {na} atoms in .gro "
+                f"but {int(natom[k])} in topology")
+        mol_mtype[m] = k
+        mol_natom_arr[m] = na
+        mol_atoms[m, :na] = np.arange(first, first + na)
+        atom_mol[first:first + na] = m
+        atom_slot[first:first + na] = np.arange(na)
+        atom_type_arr[first:first + na] = atype[k, :na]
+        # cross-check .gro atom names against the template
+        for i in range(na):
+            if gro.atom_names[first + i] != names[atype[k, i]]:
+                raise ValueError(
+                    f".gro atom name {gro.atom_names[first + i]!r} does not "
+                    f"match topology template {names[atype[k, i]]!r} "
+                    f"(molecule {m}, slot {i})")
+
+    charge = np.asarray(ff_raw.charge)[atom_type_arr]
+    mass = np.asarray(np.maximum(mass_by_type, 0.0))[atom_type_arr]
+
+    hydronium = -1
+    if cfg.ms_evb_simulation:
+        acid_mols = [m for m in range(M) if is_acid[mol_mtype[m]]
+                     and proton_atype[mol_mtype[m]] >= 0]
+        if len(acid_mols) != 1:
+            raise ValueError(f"MS-EVB needs exactly one acidic molecule, "
+                             f"found {len(acid_mols)}")
+        hydronium = acid_mols[0]
+
+    topo = Topology(
+        mol_mtype=jnp.asarray(mol_mtype),
+        mol_natom=jnp.asarray(mol_natom_arr),
+        mol_atoms=jnp.asarray(mol_atoms),
+        atom_mol=jnp.asarray(atom_mol),
+        atom_slot=jnp.asarray(atom_slot),
+        atom_type=jnp.asarray(atom_type_arr),
+        charge=jnp.asarray(charge, f),
+        hydronium_mol=jnp.asarray(hydronium, jnp.int32),
+    )
+
+    system = System(
+        ff=ff, mt=mt, evb=evb,
+        mass=jnp.asarray(mass, f),
+        n_atoms=N, n_mole=M, max_atoms_per_mol=A,
+        real_space_cutoff=float(cfg.real_space_cutoff),
+        verlet_cutoff=float(cfg.verlet_cutoff),
+        alpha_sqrt=float(cfg.alpha_sqrt),
+        pme_grid=int(cfg.pme_grid),
+        spline_order=int(cfg.spline_order),
+        n_exclusions=int(cfg.n_exclusions),
+        evb_max_states=int(cfg.evb_max_states),
+        evb_max_chain=int(cfg.evb_max_chain),
+        evb_max_neighbors=int(cfg.evb_max_neighbors),
+        ms_evb=bool(cfg.ms_evb_simulation),
+    )
+    return system, topo

@@ -1,0 +1,163 @@
+"""Per-diabat topology construction: applying proton hops as index rewrites.
+
+This replaces the reference's physical data movement
+(shift_array_data_donor_acceptor_transfer ms_evb.f90:2677-2840, conjugate
+retyping :883-932, template reordering reorder_molecule_data_structures
+:941-1006) with pure rewrites of the Topology index/charge arrays.  Atom
+positions and global indices never change; the recursive force back-mapping
+(map_diabat_force_to_principle_recursive :2608-2656) becomes unnecessary --
+forces from autodiff are already in global atom order.
+
+All functions are fixed-shape and jittable; build_diabat_topologies vmaps
+apply over the state axis.
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..topology import System, Topology
+from .enumerate import DiabatSet
+
+
+def _scatter_update(arr, idx, new_vals, mask):
+    """Masked scatter that is safe under duplicate masked indices: writes
+    deltas with .add, so masked entries contribute exactly zero."""
+    idx = jnp.maximum(idx, 0)
+    delta = jnp.where(mask, new_vals - arr[idx], jnp.zeros_like(new_vals))
+    return arr.at[idx].add(delta)
+
+
+def apply_hop(topo: Topology, hop, system: System) -> Topology:
+    """Apply one proton transfer.
+
+    hop: (5,) int32 [donor_mol, proton_atom, donor_heavy, acceptor_mol,
+    acceptor_heavy] in the CURRENT topology of `topo` (the donor molecule is
+    in its acid form)."""
+    ff, mt, evb = system.ff, system.mt, system.evb
+    A = system.max_atoms_per_mol
+    slots = jnp.arange(A, dtype=jnp.int32)
+
+    d, proton, _, a, heavy_a = hop[0], hop[1], hop[2], hop[3], hop[4]
+
+    # ---------- donor loses the proton: compact its slot list
+    s_p = topo.atom_slot[proton]
+    d_atoms = topo.mol_atoms[d]
+    shifted = jnp.roll(d_atoms, -1).at[A - 1].set(-1)
+    d_atoms_new = jnp.where(slots < s_p, d_atoms, shifted)
+    d_mask = d_atoms_new >= 0
+    d_idx = jnp.maximum(d_atoms_new, 0)
+
+    # donor retypes to its conjugate base (ms_evb.f90:908-915)
+    t_old_d = topo.atom_type[d_idx]
+    t_new_d = evb.conjugate_atype[t_old_d]
+    atom_type = _scatter_update(topo.atom_type, d_idx, t_new_d, d_mask)
+    charge = _scatter_update(topo.charge, d_idx,
+                             ff.charge_by_type[t_new_d], d_mask)
+    atom_slot = _scatter_update(topo.atom_slot, d_idx, slots, d_mask)
+
+    d_base_type = mt.conjugate_mtype[topo.mol_mtype[d]]
+    mol_mtype = topo.mol_mtype.at[d].set(d_base_type)
+    mol_natom = topo.mol_natom.at[d].add(-1)
+    mol_atoms = topo.mol_atoms.at[d].set(d_atoms_new)
+
+    # ---------- acceptor gains the proton (appended at its last slot)
+    n_a = mol_natom[a]
+    a_atoms = mol_atoms[a].at[n_a].set(proton)
+    acid_t = mt.conjugate_mtype[mol_mtype[a]]
+    a_mask = a_atoms >= 0
+    a_idx = jnp.maximum(a_atoms, 0)
+
+    t_old_a = atom_type[a_idx]
+    t_new_a = evb.conjugate_atype[t_old_a]
+    # transferred proton takes the acid's proton type
+    # (change_proton_index_proton_transfer, ms_evb.f90:2992-3004)
+    t_new_a = jnp.where(a_atoms == proton, mt.proton_atype[acid_t], t_new_a)
+    # the protonated heavy atom takes the acid's heavy type (ms_evb.f90:903-905)
+    t_new_a = jnp.where(a_atoms == heavy_a, mt.heavy_atype[acid_t], t_new_a)
+
+    # ---------- reorder acceptor slots to the acid template
+    # greedy stable match (reorder_molecule_data_structures): for each
+    # template slot i, if the current type mismatches, rotate in the first
+    # later slot with the right type.
+    template = mt.atype[acid_t]                            # (A,)
+
+    def reorder_body(i, carry):
+        atoms, types = carry
+        need = (template[i] >= 0) & (types[i] != template[i])
+        cand = (slots > i) & (types == template[i])
+        j = jnp.argmax(cand)                               # first match
+        do = need & jnp.any(cand)
+        src = jnp.where(slots == i, j,
+                        jnp.where((slots > i) & (slots <= j), slots - 1,
+                                  slots))
+        atoms = jnp.where(do, atoms[src], atoms)
+        types = jnp.where(do, types[src], types)
+        return atoms, types
+
+    a_atoms, t_new_a = jax.lax.fori_loop(
+        0, A, reorder_body, (a_atoms, t_new_a))
+    a_mask = a_atoms >= 0
+    a_idx = jnp.maximum(a_atoms, 0)
+
+    atom_type = _scatter_update(atom_type, a_idx, t_new_a, a_mask)
+    charge = _scatter_update(charge, a_idx,
+                             ff.charge_by_type[t_new_a], a_mask)
+    atom_slot = _scatter_update(atom_slot, a_idx, slots, a_mask)
+
+    mol_mtype = mol_mtype.at[a].set(acid_t)
+    mol_natom = mol_natom.at[a].add(1)
+    mol_atoms = mol_atoms.at[a].set(a_atoms)
+    atom_mol = topo.atom_mol.at[proton].set(a)
+
+    return Topology(mol_mtype=mol_mtype, mol_natom=mol_natom,
+                    mol_atoms=mol_atoms, atom_mol=atom_mol,
+                    atom_slot=atom_slot, atom_type=atom_type, charge=charge,
+                    hydronium_mol=a.astype(jnp.int32))
+
+
+def diabat_topology(topo: Topology, hop_log_s, n_hops_s,
+                    system: System) -> Topology:
+    """Apply one state's hop chain (fixed loop over evb_max_chain)."""
+    C = hop_log_s.shape[0]
+
+    def body(i, t):
+        def do(t):
+            return apply_hop(t, hop_log_s[i], system)
+        return jax.lax.cond(i < n_hops_s, do, lambda t: t, t)
+
+    return jax.lax.fori_loop(0, C, body, topo)
+
+
+@struct.dataclass
+class DiabatBatch:
+    dset: DiabatSet
+    topo: Topology              # batched over leading state axis
+    changed_atoms: jnp.ndarray  # (S, 2*C*A) int32, -1 padded
+    changed_mask: jnp.ndarray   # (S, 2*C*A) bool
+
+
+def build_diabat_topologies(topo: Topology, dset: DiabatSet,
+                            system: System) -> DiabatBatch:
+    A = system.max_atoms_per_mol
+
+    def build_one(hop_log_s, n_hops_s):
+        t = diabat_topology(topo, hop_log_s, n_hops_s, system)
+        # atoms of every molecule touched by the chain (for delta-Q PME);
+        # membership is taken in the PRINCIPLE topology -- the union of
+        # donor+acceptor atom sets is identical in both topologies
+        mols = jnp.concatenate([hop_log_s[:, 0], hop_log_s[:, 3]])   # (2C,)
+        mvalid = mols >= 0
+        atoms = topo.mol_atoms[jnp.maximum(mols, 0)]                 # (2C, A)
+        cmask = (mvalid[:, None] & (atoms >= 0)).reshape(-1)
+        flat = atoms.reshape(-1)
+        # dedupe: consecutive hops share molecules; a duplicated entry would
+        # double-count its charge delta in the delta-Q scatter
+        eq = flat[:, None] == flat[None, :]
+        seen_before = jnp.any(jnp.tril(eq, -1) & cmask[None, :], axis=1)
+        cmask = cmask & ~seen_before
+        return t, jnp.where(cmask, flat, -1), cmask
+
+    topo_b, changed, cmask = jax.vmap(build_one)(dset.hop_log, dset.n_hops)
+    return DiabatBatch(dset=dset, topo=topo_b, changed_atoms=changed,
+                       changed_mask=cmask)

@@ -1,0 +1,147 @@
+"""Diabatic coupling matrix elements  H_ij = (Vconst + Vex) * A(q, R_OO).
+
+Implements ms_evb.f90:1021-1403 (equations 10-12 of JPC B 2008, 112, 467):
+
+  geometric factor A : function type 1 = MS-EVB3 form, type 2 = product of
+                       Gaussians (evb_diabatic_coupling_function:1180-1266),
+                       type 3 = PB-NN: a small MLP over (|q|^2, R_OO) --
+                       the neural off-diagonal extension point this engine
+                       adds (the reference dispatches coupling types at
+                       ms_evb.f90:1196; an NN type is the natural third).
+  exchange term Vex  : Coulomb sum of exchange charges on the 7-atom Zundel
+                       complex against all other molecules, no cutoff, no
+                       Ewald (by design, comment at ms_evb.f90:1015-1019);
+                       PBC shifts are taken against the Zundel center of
+                       mass so the element is donor/acceptor symmetric
+                       (:1303-1348, zundel_r_com :2946-2982).
+
+Evaluated in the DIABAT topology (donor deprotonated, acceptor protonated,
+transferred proton = acceptor's last slot).  Forces via autodiff.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..topology import System, Topology
+from ..utils import pbc
+from ..utils.constants import CONV_E2A_KJMOL
+
+
+def geometric_factor(func, p, q_vec, r_OO_vec, nn_apply=None):
+    """A(q, R_OO) for all function types, selected by `func`.
+
+    The sqrt is guarded so that padded/inactive evaluations (where donor ==
+    acceptor makes r_OO = 0) do not poison the backward pass with NaN."""
+    q2 = jnp.sum(q_vec * q_vec)
+    roo2 = jnp.sum(r_OO_vec * r_OO_vec)
+    roo = jnp.sqrt(jnp.where(roo2 > 1e-12, roo2, 1.0))
+
+    # type 1: MS-EVB3 (ms_evb.f90:1196-1231)
+    gamma, P, k, D, beta, R0, Pp, alpha, rl0 = (p[i] for i in range(1, 10))
+    f1 = jnp.exp(-gamma * q2)
+    f2 = 1.0 + P * jnp.exp(-k * (roo - D) ** 2)
+    f3 = (0.5 * (1.0 - jnp.tanh(beta * (roo - R0)))
+          + Pp * jnp.exp(-alpha * (roo - rl0)))
+    a1 = f1 * f2 * f3
+
+    # type 2: product of two Gaussians (ms_evb.f90:1233-1261)
+    g_gamma, g_k, g_D = p[1], p[2], p[3]
+    a2 = jnp.exp(-g_gamma * q2) * jnp.exp(-g_k * (roo - g_D) ** 2)
+
+    a = jnp.where(func == 1, a1, jnp.where(func == 2, a2, 0.0))
+    if nn_apply is not None:
+        a = jnp.where(func == 3, nn_apply(q2, roo), a)
+    return a
+
+
+def coupling_element(x, box, topo: Topology, system: System,
+                     donor_mol, acceptor_mol, active):
+    """One off-diagonal element in the given (diabat) topology."""
+    evb, mt = system.evb, system.mt
+    A = system.max_atoms_per_mol
+    N = system.n_atoms
+
+    d = jnp.where(active, donor_mol, 0)
+    a = jnp.where(active, acceptor_mol, 0)
+
+    # ---- participating atoms
+    d_mtype = topo.mol_mtype[d]
+    a_mtype = topo.mol_mtype[a]
+    # donor heavy: acid-template slot of the donor's conjugate acid
+    # (get_heavy_atom_transfer_base, ms_evb.f90:2888-2911)
+    d_heavy = topo.mol_atoms[d, jnp.maximum(mt.heavy_slot[d_mtype], 0)]
+    a_heavy = topo.mol_atoms[a, jnp.maximum(mt.heavy_slot[a_mtype], 0)]
+    n_a = topo.mol_natom[a]
+    proton = topo.mol_atoms[a, n_a - 1]       # transferred H = last slot
+
+    d_heavy = jnp.maximum(d_heavy, 0)
+    a_heavy = jnp.maximum(a_heavy, 0)
+    proton = jnp.maximum(proton, 0)
+
+    # ---- geometric factor, all positions min-imaged against O_donor
+    r_O1 = x[d_heavy]
+    r_O2 = r_O1 + pbc.min_image(x[a_heavy] - r_O1, box)
+    r_H = r_O1 + pbc.min_image(x[proton] - r_O1, box)
+    r_OO = r_O1 - r_O2
+    q_vec = (r_O1 + r_O2) / 2.0 - r_H
+
+    t1 = topo.atom_type[d_heavy]
+    t2 = topo.atom_type[a_heavy]
+    t3 = topo.atom_type[proton]
+    func = evb.cpl_func[t1, t2, t3]
+    params = evb.cpl_params[t1, t2, t3]
+    vconst = params[0]
+    nn_apply = None
+    if evb.nn_params is not None:
+        from ..nn.coupling_mlp import apply_mlp
+        nn_apply = lambda q2, roo: apply_mlp(evb.nn_params, q2, roo)
+        vconst = jnp.where(func == 3, evb.nn_params["vconst"], vconst)
+    a_fac = geometric_factor(func, params, q_vec, r_OO, nn_apply)
+
+    # ---- exchange electrostatics Vex (ms_evb.f90:1276-1403)
+    d_atoms = topo.mol_atoms[d]
+    a_atoms = topo.mol_atoms[a]
+    d_am = d_atoms >= 0
+    a_am = a_atoms >= 0
+    d_ai = jnp.maximum(d_atoms, 0)
+    a_ai = jnp.maximum(a_atoms, 0)
+
+    # zundel center of mass: acceptor min-imaged against the donor COM
+    from ..evb.enumerate import molecule_com
+    com = molecule_com(x, topo, system.mass)
+    com_d, com_a = com[d], com[a]
+    shift_a = jax.lax.stop_gradient(
+        (com_a - com_d) - pbc.min_image(com_a - com_d, box))
+    mass_d = jnp.sum(jnp.where(d_am, system.mass[d_ai], 0.0))
+    mass_a = jnp.sum(jnp.where(a_am, system.mass[a_ai], 0.0))
+    zundel = (mass_d * com_d + mass_a * (com_a - shift_a)) / (mass_d + mass_a)
+    zundel = jax.lax.stop_gradient(zundel)
+
+    # per-solvent-molecule lattice shift against the zundel COM
+    shift_mol = jax.lax.stop_gradient(
+        (com - zundel[None, :]) - pbc.min_image(com - zundel[None, :], box))
+    shift_atom = shift_mol[topo.atom_mol]                  # (N, 3)
+
+    # exchange charges of the zundel atoms
+    qx_d = jnp.where(d_am, evb.exchange_q_atype[topo.atom_type[d_ai]], 0.0)
+    qx_a = jnp.where(a_am, evb.exchange_q_atype[topo.atom_type[a_ai]], 0.0)
+    # the transferred proton's exchange charge depends on the molecule pair
+    # (evb_exchange_charge_proton, ms_evb.f90:1313-1316)
+    q_transfer = evb.exchange_q_proton[a_mtype, d_mtype]
+    qx_a = jnp.where(jnp.arange(A) == n_a - 1, q_transfer, qx_a)
+
+    # zundel atom effective positions: donor at own position, acceptor
+    # shifted by the donor-COM minimum image
+    zx = jnp.concatenate([x[d_ai], x[a_ai] - shift_a[None, :]], axis=0)
+    zq = jnp.concatenate([qx_d, qx_a])                     # (2A,)
+
+    solvent = (topo.atom_mol != d) & (topo.atom_mol != a)  # (N,)
+    xs = x - shift_atom                                    # (N, 3)
+    dr = zx[:, None, :] - xs[None, :, :]                   # (2A, N, 3)
+    pair_m = (zq != 0.0)[:, None] & solvent[None, :]
+    r2 = jnp.where(pair_m, jnp.sum(dr * dr, -1), 1.0)
+    vex = jnp.sum(jnp.where(
+        pair_m, zq[:, None] * topo.charge[None, :] / jnp.sqrt(r2), 0.0))
+    vex = vex * CONV_E2A_KJMOL
+
+    return jnp.where(active, (vconst + vex) * a_fac, 0.0)

@@ -25,13 +25,19 @@ from ..utils.constants import CONV_E2A_KJMOL, SQRT_PI
 
 def tang_toennies(x, n):
     """f_n(x) = 1 - e^{-x} sum_{k=0}^{n} x^k / k!
-    (general_routines.f90:1782-1801)."""
-    term = jnp.ones_like(x)
-    s = jnp.ones_like(x)
+    (general_routines.f90:1782-1801).
+
+    Clamped to 1 beyond x = 40 (error < 3e-7 for n <= 12; the reference
+    clamps at its table edge x = 50, glob_v.f90:347).  The clamp also keeps
+    the partial sums inside fp32 range when the dispatch evaluates this
+    branch with non-SAPT parameters."""
+    xc = jnp.minimum(x, 40.0)
+    term = jnp.ones_like(xc)
+    s = jnp.ones_like(xc)
     for k in range(1, n + 1):
-        term = term * x / k
+        term = term * xc / k
         s = s + term
-    return 1.0 - s * jnp.exp(-x)
+    return jnp.where(x < 40.0, 1.0 - s * jnp.exp(-xc), 1.0)
 
 
 def ewald_real(qq, r, alpha):
@@ -71,11 +77,14 @@ def sapt(params, r, r2):
     return e
 
 
-def vdw_pair_energy(vtype, params, params_14, is_14, r, r2):
+def vdw_pair_energy(vtype, params, params_14, is_14, r, r2, has_sapt=True):
     """Dispatch over vdw type codes (0 LJ / 1 SAPT / -1 none) for a batch of
     pairs.  1-4 pairs take the special C12/C6 table (GROMOS convention,
-    pair_int_real_space.f90:477-481)."""
+    pair_int_real_space.f90:477-481).  has_sapt=False (static) removes the
+    Buckingham branch from the compiled program entirely."""
     p_lj = jnp.where(is_14[..., None], params_14, params)
     e_lj = lj(p_lj[..., 0], p_lj[..., 1], r2)
-    e_sapt = sapt(params, r, r2)
-    return jnp.where(vtype == 0, e_lj, jnp.where(vtype == 1, e_sapt, 0.0))
+    e = jnp.where(vtype == 0, e_lj, 0.0)
+    if has_sapt:
+        e = jnp.where(vtype == 1, sapt(params, r, r2), e)
+    return e

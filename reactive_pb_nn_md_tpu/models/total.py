@@ -58,7 +58,8 @@ def realspace_inter(x, box, topo: Topology, system: System, pairs):
     vtype = system.ff.vdw_type[ti, tj]
     params = system.ff.vdw_params[ti, tj]
     e_vdw = nonbonded.vdw_pair_energy(
-        vtype, params, params, jnp.zeros_like(within), r, r2s)
+        vtype, params, params, jnp.zeros_like(within), r, r2s,
+        has_sapt=system.has_sapt)
 
     zero = jnp.zeros_like(e_elec)
     return (jnp.sum(jnp.where(within, e_elec, zero)),
@@ -109,13 +110,29 @@ def intra_nonbonded(x, topo: Topology, system: System):
     vtype = system.ff.vdw_type[ti, tj]
     params = system.ff.vdw_params[ti, tj]
     params14 = system.ff.vdw_params_14[ti, tj]
-    e_vdw = nonbonded.vdw_pair_energy(vtype, params, params14, is_14, r, r2)
+    e_vdw = nonbonded.vdw_pair_energy(vtype, params, params14, is_14, r, r2,
+                                      has_sapt=system.has_sapt)
 
     zero = jnp.zeros_like(e_elec)
     E_elec = (jnp.sum(jnp.where(excluded, e_corr, zero))
               + jnp.sum(jnp.where(within, e_elec, zero)))
     E_vdw = jnp.sum(jnp.where(nonexcl, e_vdw, zero))
     return E_elec, E_vdw
+
+
+def energy_no_recip(x, box, topo: Topology, system: System, pairs):
+    """All terms except reciprocal PME (which the EVB layer batches over
+    diabats with delta-Q grids).  Includes Ewald self (charge-dependent)."""
+    e_real_elec, e_real_vdw = realspace_inter(x, box, topo, system, pairs)
+    e_intra_elec, e_intra_vdw = intra_nonbonded(x, topo, system)
+    e_self = pme.ewald_self(topo.charge, system.alpha_sqrt)
+    e_bond, e_angle, e_dihedral = bonded.bonded_energies(x, topo, system)
+    return EnergyBreakdown(
+        total=(e_real_elec + e_intra_elec + e_self + e_real_vdw
+               + e_intra_vdw + e_bond + e_angle + e_dihedral),
+        elec=e_real_elec + e_intra_elec + e_self,
+        vdw=e_real_vdw + e_intra_vdw,
+        bond=e_bond, angle=e_angle, dihedral=e_dihedral)
 
 
 def total_energy(x, box, topo: Topology, system: System, pairs, cbw):

@@ -1,0 +1,74 @@
+"""Multi-device execution: replica ensembles and atom-sharded forces.
+
+The reference's only parallelism is OpenMP within one process (SURVEY §2.3).
+The TPU-native mapping:
+
+  dp axis ("replica")  : independent MD replicas (umbrella windows,
+                         temperature ladders) -- vmapped and sharded across
+                         devices; zero communication except diagnostics.
+  sp axis ("atoms")    : the atom/pair dimension sharded within a replica;
+                         XLA inserts the all-gathers/psums for the pair
+                         gathers and force reductions (GSPMD -- annotate
+                         shardings, let the compiler place collectives on
+                         ICI).
+
+Both are expressed as sharding annotations over one jitted step: no
+hand-written NCCL/MPI analog exists or is needed.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..md import integrators
+
+
+def make_mesh(n_devices=None, sp=None):
+    """1- or 2-axis device mesh ("replica", "atoms")."""
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devices)
+    if sp is None:
+        sp = 2 if n % 2 == 0 and n > 1 else 1
+    dp = n // sp
+    return Mesh(np.asarray(devices).reshape(dp, sp), ("replica", "atoms"))
+
+
+def stack_replicas(ms: integrators.MDState, n_replicas, base_key):
+    """Tile one MDState into a replica batch with distinct PRNG keys."""
+    keys = jax.random.split(base_key, n_replicas)
+
+    def tile(a):
+        return jnp.broadcast_to(a[None], (n_replicas,) + a.shape)
+
+    batch = jax.tree_util.tree_map(tile, ms)
+    batch = batch.replace(state=batch.state.replace(key=keys))
+    return batch
+
+
+def replica_sharding(mesh, ms_batch):
+    """Shardings: replica axis on "replica"; atom-indexed arrays also shard
+    their atom dimension on "atoms"."""
+    n_atoms = ms_batch.state.x.shape[1]
+    sp = mesh.shape["atoms"]
+
+    def spec(a):
+        # shard (R, N, ...) arrays over both axes when N divides evenly
+        if a.ndim >= 2 and a.shape[1] == n_atoms and n_atoms % sp == 0:
+            return NamedSharding(mesh, P("replica", "atoms"))
+        return NamedSharding(mesh, P("replica"))
+
+    return jax.tree_util.tree_map(spec, ms_batch)
+
+
+def make_replica_step(system, cbw, dt, ensemble, friction=0.1,
+                      temperature=300.0):
+    """Jitted, vmapped MD step over the replica axis."""
+
+    def one(ms):
+        return integrators.md_step.__wrapped__(
+            ms, system, cbw, dt, ensemble, friction, temperature)
+
+    return jax.jit(jax.vmap(one))

@@ -1,0 +1,47 @@
+"""Command-line driver.
+
+Same 8-positional-file contract as the reference binary
+(sort_input_files, general_routines.f90:16-27; main_ms_evb.f90:15-122):
+
+    python -m reactive_pb_nn_md_tpu.run.cli \
+        in.gro ff.pmt topology.top sim.pmt traj.out log.out hop.out A.out
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="reactive_pb_nn_md_tpu",
+        description="TPU-native reactive MS-EVB molecular dynamics")
+    p.add_argument("gro", help="input coordinates (.gro, nm)")
+    p.add_argument("ffpmt", help="force-field parameter file (.pmt)")
+    p.add_argument("top", help="topology file (.top)")
+    p.add_argument("simpmt", help="simulation parameter file (.pmt)")
+    p.add_argument("traj", help="output trajectory (.gro frames)")
+    p.add_argument("log", help="output log file")
+    p.add_argument("hop", help="output proton-hop event file")
+    p.add_argument("afile", help="output A-factor/debug geometry file")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu / tpu)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override n_step from the parameter file")
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..md.simulation import Simulation
+
+    sim = Simulation(args.gro, args.ffpmt, args.top, args.simpmt,
+                     args.traj, args.log, args.hop, args.afile)
+    n = args.steps if args.steps is not None else sim.cfg.n_step
+    elapsed = sim.run(n)
+    print(f"completed {n} steps in {elapsed:.2f} s "
+          f"({n / max(elapsed, 1e-9):.2f} steps/s)")
+
+
+if __name__ == "__main__":
+    main()

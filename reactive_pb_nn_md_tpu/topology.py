@@ -67,6 +67,12 @@ class MolTypeTable:
     proton_atype: jnp.ndarray            # (MT,) int32, -1 if not acid
     heavy_atype: jnp.ndarray             # (MT,) int32, -1 if not acid
     reference_energy: jnp.ndarray        # (MT,)
+    bonded_heavy_slot: jnp.ndarray       # (MT,A) int32: template-bonded
+                                         # partner slot of each H slot, -1
+    heavy_slot: jnp.ndarray              # (MT,) int32: first template slot
+                                         # whose type is the acid heavy type
+                                         # (of this type if acid, of the
+                                         # conjugate acid if base), -1 else
     mtype_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
 
 
@@ -121,6 +127,7 @@ class System:
     evb_max_chain: int = struct.field(pytree_node=False, default=3)
     evb_max_neighbors: int = struct.field(pytree_node=False, default=10)
     ms_evb: bool = struct.field(pytree_node=False, default=False)
+    has_sapt: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -187,6 +194,8 @@ def generate_exclusions(n_atom, bonds, n_exclusions, explicit=()):
 def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
                  cfg: SimConfig):
     """Compile parsed inputs into (System, Topology, State-positions)."""
+    from .utils.dtypes import set_precision
+    set_precision(cfg.precision)
     f = default_float()
     T = ff_raw.n_types
     names = ff_raw.names
@@ -372,6 +381,25 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
             cpl_params=jnp.asarray(cpl_params, f),
         )
 
+    # template-bonded partner slot (find_bonded_atom_hydrogen,
+    # general_routines.f90:575) and heavy-atom template slot
+    # (get_heavy_atom_transfer_acid/base, ms_evb.f90:2888-2938)
+    bonded_heavy_slot = np.full((MT, A), -1, dtype=np.int32)
+    heavy_slot = np.full((MT,), -1, dtype=np.int32)
+    for k, m in enumerate(mtypes):
+        for (i, j) in m.bonds:
+            if bonded_heavy_slot[k, i] < 0:
+                bonded_heavy_slot[k, i] = j
+            if bonded_heavy_slot[k, j] < 0:
+                bonded_heavy_slot[k, j] = i
+        acid_k = k if is_acid[k] else conjugate_mtype[k]
+        if proton_atype[acid_k] >= 0:
+            t_heavy = heavy_atype[acid_k]
+            for i in range(natom[acid_k]):
+                if atype[acid_k, i] == t_heavy:
+                    heavy_slot[k] = i
+                    break
+
     mt = MolTypeTable(
         natom=jnp.asarray(natom),
         atype=jnp.asarray(atype),
@@ -388,6 +416,8 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         proton_atype=jnp.asarray(proton_atype),
         heavy_atype=jnp.asarray(heavy_atype),
         reference_energy=jnp.asarray(reference_energy, f),
+        bonded_heavy_slot=jnp.asarray(bonded_heavy_slot),
+        heavy_slot=jnp.asarray(heavy_slot),
         mtype_names=tuple(mtype_names),
     )
 
@@ -460,5 +490,6 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         evb_max_chain=int(cfg.evb_max_chain),
         evb_max_neighbors=int(cfg.evb_max_neighbors),
         ms_evb=bool(cfg.ms_evb_simulation),
+        has_sapt=bool((vdw_type == 1).any()),
     )
     return system, topo

@@ -127,6 +127,10 @@ h3o    h2o    H_h3o   O_h3o
    1   1
    2   0
    3   0
+
+[ conjugate_atoms ]
+O_h3o   OW
+H_h3o   HW
 """
 
 SIM_PMT_TEMPLATE = """Simulation Methodology

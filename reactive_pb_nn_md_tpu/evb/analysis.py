@@ -1,0 +1,100 @@
+"""EVB trajectory analysis utilities.
+
+Counterparts of the reference's analysis extras (ms_evb.f90:3684-3848):
+
+  hbond_network   : donor/acceptor hydrogen-bond counts around the
+                    hydronium (get_hbond_neighbors / get_h3o_network),
+                    geometric criterion r_OO < 3.6 A, r_HO < 2.41 A,
+                    O-O-H angle < 30 degrees
+  zundel_geometry : donor/acceptor coordinates + A factor for the debug=2
+                    stream (write_geometry)
+  diabat_report   : per-diabat hydronium molecule, c_i^2 and solvation
+                    shell (print_evb_trajectory_data, ms_evb.f90:3128-3162)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..topology import System, Topology
+from ..utils import pbc
+
+
+def hbond_network(x, box, topo: Topology, system: System,
+                  roo_cut=3.6, rho_cut=2.41, angle_cut_deg=30.0):
+    """(n_acceptors, n_donors) H-bond counts around the hydronium."""
+    h = topo.hydronium_mol
+    mt = topo.mol_mtype[h]
+    atoms = jnp.maximum(topo.mol_atoms[h], 0)
+    amask = topo.mol_atoms[h] >= 0
+    heavy = atoms[jnp.maximum(system.mt.heavy_slot[mt], 0)]
+    proton_t = system.mt.proton_atype[mt]
+    types = jnp.where(amask, topo.atom_type[atoms], -1)
+    is_proton = types == proton_t
+
+    # candidate water oxygens: reactive base atoms of other molecules
+    base = (system.mt.reactive_bases[topo.mol_mtype[topo.atom_mol],
+                                     topo.atom_slot] > 0) \
+        & (topo.atom_mol != h)
+
+    o1 = x[heavy]
+    d_o = pbc.min_image(x - o1[None, :], box)            # (N,3) O1 -> O0
+    roo = jnp.sqrt(jnp.sum(d_o * d_o, -1))
+    near = base & (roo < roo_cut)
+
+    cos_cut = np.cos(np.radians(angle_cut_deg))
+
+    # hydronium donates: its protons H1 with r(H1,O0) < rho_cut and
+    # angle(O1->O0, O1->H1) < 30 deg
+    xh = x[atoms]                                         # (A,3)
+    d_h = xh - o1[None, :]                                # O1 -> H1
+    d_h_norm = jnp.sqrt(jnp.maximum(jnp.sum(d_h * d_h, -1), 1e-12))
+    dho = pbc.min_image(x[None, :, :] - xh[:, None, :], box)   # (A,N,3)
+    rho = jnp.sqrt(jnp.sum(dho * dho, -1))
+    cosang = (d_o[None, :, :] * d_h[:, None, :]).sum(-1) \
+        / (roo[None, :] * d_h_norm[:, None] + 1e-12)
+    donate = (is_proton[:, None] & near[None, :] & (rho < rho_cut)
+              & (cosang > cos_cut))
+    n_accept = int(jnp.sum(donate))    # waters accepting from hydronium
+
+    # hydronium accepts: water protons H0 with r(H0,O1) < rho_cut and
+    # angle(O0->O1, O0->H0) < 30 deg
+    # any atom (slot > 0) whose molecule's slot-0 atom is a near base oxygen
+    mol0 = jnp.maximum(topo.mol_atoms[topo.atom_mol, 0], 0)
+    is_water_h = (topo.atom_slot > 0) & near[mol0]
+    o0 = x[mol0]                                          # (N,3) own oxygen
+    d_ho1 = pbc.min_image(o1[None, :] - x, box)
+    rh_o1 = jnp.sqrt(jnp.sum(d_ho1 * d_ho1, -1))
+    d_oo1 = pbc.min_image(o1[None, :] - o0, box)
+    d_oh = x - o0
+    cosang2 = jnp.sum(d_oo1 * d_oh, -1) / (
+        jnp.sqrt(jnp.maximum(jnp.sum(d_oo1 * d_oo1, -1), 1e-12))
+        * jnp.sqrt(jnp.maximum(jnp.sum(d_oh * d_oh, -1), 1e-12)))
+    donate2 = is_water_h & (rh_o1 < rho_cut) & (cosang2 > cos_cut)
+    n_donate = int(jnp.sum(donate2))
+
+    return n_accept, n_donate
+
+
+def diabat_report(dset, eigenvector, n_states):
+    """Rows of (state, hydronium molecule, c_i^2, solvation shell)."""
+    rows = []
+    c = np.asarray(eigenvector)
+    for s in range(int(n_states)):
+        rows.append((s + 1, int(dset.hydronium_of[s]) + 1,
+                     float(c[s] ** 2), int(dset.n_hops[s])))
+    return rows
+
+
+def format_zundel_geometry(a_factor, donor_names, donor_xyz,
+                           acceptor_names, acceptor_xyz):
+    """debug=2 A-file block (write_geometry, ms_evb.f90:3828-3848)."""
+    lines = ["Donor Coordinates"]
+    for nm, p in zip(donor_names, donor_xyz):
+        lines.append(f" {nm} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}")
+    lines.append("Acceptor Coordinates")
+    for nm, p in zip(acceptor_names, acceptor_xyz):
+        lines.append(f" {nm} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}")
+    lines.append(f" A {a_factor}")
+    lines.append("")
+    return "\n".join(lines)

@@ -45,13 +45,24 @@ class DiabatSet:
     overflow: jnp.ndarray       # () bool
 
 
-def molecule_com(x, topo: Topology, mass):
-    """Per-molecule center of mass (M, 3)."""
+def molecule_com(x, topo: Topology, mass, box=None):
+    """Per-molecule center of mass (M, 3).
+
+    When `box` is given, atom positions are minimum-imaged against the
+    molecule's first atom before averaging, so the COM is correct even for
+    molecules split across the periodic boundary (a diabat's acceptor
+    molecule can be split, since positions are shared across diabats --
+    the reference instead physically re-wraps copies, make_molecule_whole,
+    ms_evb.f90:876)."""
+    from ..utils import pbc
     am = topo.mol_atoms                                   # (M, A)
     mask = am >= 0
     idx = jnp.maximum(am, 0)
     w = jnp.where(mask, mass[idx], 0.0)                   # (M, A)
     xs = x[idx]                                           # (M, A, 3)
+    if box is not None:
+        anchor = xs[:, :1, :]
+        xs = anchor + pbc.min_image(xs - anchor, box)
     return jnp.sum(w[..., None] * xs, axis=1) / jnp.sum(w, axis=1)[:, None]
 
 
@@ -65,7 +76,7 @@ def enumerate_diabats(x, box, topo: Topology, system: System) -> DiabatSet:
     N = system.n_atoms
     mt = system.mt
 
-    com = molecule_com(x, topo, system.mass)              # (M, 3)
+    com = molecule_com(x, topo, system.mass, box)         # (M, 3)
     # per-atom reactive-base flag in principle topology
     base_atom = mt.reactive_bases[topo.mol_mtype[topo.atom_mol],
                                   topo.atom_slot] > 0     # (N,)

@@ -49,7 +49,7 @@ class MCBarostat:
         # scale molecule positions about their COM
         from ..evb.enumerate import molecule_com
         x = ms.state.x
-        com = molecule_com(x, ms.topo, system.mass)
+        com = molecule_com(x, ms.topo, system.mass, ms.state.box)
         new_com = com * scale
         x_new = x + (new_com - com)[ms.topo.atom_mol]
         new_box = ms.state.box * scale

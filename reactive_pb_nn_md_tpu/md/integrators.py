@@ -47,7 +47,7 @@ def wrap_molecules(x, box, topo: Topology, mass):
     """Translate whole molecules back into the box by their COM
     (shift_molecules_into_box)."""
     from ..evb.enumerate import molecule_com
-    com = molecule_com(x, topo, mass)
+    com = molecule_com(x, topo, mass, box)
     frac = pbc.xyz_to_frac(com, box)
     shift = jax.lax.stop_gradient(jnp.floor(frac)) @ box    # (M, 3)
     return x - shift[topo.atom_mol]

@@ -170,6 +170,14 @@ class Simulation:
             n = int(ms.n_states)
             line += (f" diabats {n} max_ci2 {float(np.max(c ** 2)):8.5f} "
                      f"hydronium_mol {int(ms.topo.hydronium_mol) + 1}\n")
+        if self.system.ms_evb and self.cfg.debug >= 2:
+            # H-bond environment of the hydronium (get_h3o_network analog)
+            from ..evb import analysis
+            n_acc, n_don = analysis.hbond_network(
+                ms.state.x, ms.state.box, ms.topo, self.system)
+            self.hop_f.write(f"step {step} number of acceptors {n_acc} "
+                             f"number of donors {n_don}\n")
+            self.hop_f.flush()
         self.log_f.write(line)
         self.log_f.flush()
 

@@ -13,13 +13,17 @@ Function types and formulas match intra_bonded_interactions.f90:
 Evaluated as a flat gather-compute over (molecule x template-slot) tensors
 (vmapped across diabats by the EVB layer); forces via autodiff, with acos
 clamped exactly like the reference's numerical guards (:240-247, :404-411).
-No minimum image: molecules are kept whole by convention.
+All bonded displacements are minimum-imaged: in a diabat topology the
+transferred proton can sit across the periodic boundary from its new
+molecule (the reference instead physically re-wraps per-diabat copies via
+make_molecule_whole, ms_evb.f90:876).
 """
 
 import jax
 import jax.numpy as jnp
 
 from ..topology import System, Topology
+from ..utils import pbc
 
 
 def _safe_acos(c):
@@ -44,7 +48,7 @@ def _gather_pairs(topo, system, idx_table):
     return gidx.reshape(M * S, ar), mask.reshape(M * S)
 
 
-def bond_energy(x, topo: Topology, system: System):
+def bond_energy(x, box, topo: Topology, system: System):
     ff = system.ff
     gidx, mask = _gather_pairs(topo, system, system.mt.bonds)
     ti = topo.atom_type[gidx[:, 0]]
@@ -52,7 +56,7 @@ def bond_energy(x, topo: Topology, system: System):
     func = ff.bond_func[ti, tj]
     p = ff.bond_params[ti, tj]
 
-    dr = x[gidx[:, 0]] - x[gidx[:, 1]]
+    dr = pbc.min_image(x[gidx[:, 0]] - x[gidx[:, 1]], box)
     r2 = jnp.sum(dr * dr, axis=-1)
     r2 = jnp.where(mask, r2, 1.0)
     r = jnp.sqrt(r2)
@@ -67,7 +71,7 @@ def bond_energy(x, topo: Topology, system: System):
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
-def angle_energy(x, topo: Topology, system: System):
+def angle_energy(x, box, topo: Topology, system: System):
     ff = system.ff
     gidx, mask = _gather_pairs(topo, system, system.mt.angles)
     ti = topo.atom_type[gidx[:, 0]]
@@ -76,8 +80,8 @@ def angle_energy(x, topo: Topology, system: System):
     func = ff.angle_func[ti, tj, tk]
     p = ff.angle_params[ti, tj, tk]
 
-    r_ij = x[gidx[:, 0]] - x[gidx[:, 1]]
-    r_kj = x[gidx[:, 2]] - x[gidx[:, 1]]
+    r_ij = pbc.min_image(x[gidx[:, 0]] - x[gidx[:, 1]], box)
+    r_kj = pbc.min_image(x[gidx[:, 2]] - x[gidx[:, 1]], box)
     nij2 = jnp.where(mask, jnp.sum(r_ij * r_ij, -1), 1.0)
     nkj2 = jnp.where(mask, jnp.sum(r_kj * r_kj, -1), 1.0)
     cos_t = jnp.sum(r_ij * r_kj, -1) / jnp.sqrt(nij2 * nkj2)
@@ -89,16 +93,16 @@ def angle_energy(x, topo: Topology, system: System):
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
-def dihedral_energy(x, topo: Topology, system: System):
+def dihedral_energy(x, box, topo: Topology, system: System):
     ff = system.ff
     gidx, mask = _gather_pairs(topo, system, system.mt.dihedrals)
     t = [topo.atom_type[gidx[:, k]] for k in range(4)]
     func = ff.dihedral_func[t[0], t[1], t[2], t[3]]
     p = ff.dihedral_params[t[0], t[1], t[2], t[3]]
 
-    r_ji = x[gidx[:, 1]] - x[gidx[:, 0]]
-    r_kj = x[gidx[:, 2]] - x[gidx[:, 1]]
-    r_lk = x[gidx[:, 3]] - x[gidx[:, 2]]
+    r_ji = pbc.min_image(x[gidx[:, 1]] - x[gidx[:, 0]], box)
+    r_kj = pbc.min_image(x[gidx[:, 2]] - x[gidx[:, 1]], box)
+    r_lk = pbc.min_image(x[gidx[:, 3]] - x[gidx[:, 2]], box)
 
     # triple-product form used by the reference (intra_bonded:361-402):
     # alpha = r_ji x r_kj, beta = r_kj x r_lk, cos xi = a.b/|a||b|
@@ -133,7 +137,7 @@ def dihedral_energy(x, topo: Topology, system: System):
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
-def bonded_energies(x, topo: Topology, system: System):
-    return (bond_energy(x, topo, system),
-            angle_energy(x, topo, system),
-            dihedral_energy(x, topo, system))
+def bonded_energies(x, box, topo: Topology, system: System):
+    return (bond_energy(x, box, topo, system),
+            angle_energy(x, box, topo, system),
+            dihedral_energy(x, box, topo, system))

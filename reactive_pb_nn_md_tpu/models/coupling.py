@@ -108,7 +108,7 @@ def coupling_element(x, box, topo: Topology, system: System,
 
     # zundel center of mass: acceptor min-imaged against the donor COM
     from ..evb.enumerate import molecule_com
-    com = molecule_com(x, topo, system.mass)
+    com = molecule_com(x, topo, system.mass, box)
     com_d, com_a = com[d], com[a]
     shift_a = jax.lax.stop_gradient(
         (com_a - com_d) - pbc.min_image(com_a - com_d, box))
@@ -130,9 +130,16 @@ def coupling_element(x, box, topo: Topology, system: System,
     q_transfer = evb.exchange_q_proton[a_mtype, d_mtype]
     qx_a = jnp.where(jnp.arange(A) == n_a - 1, q_transfer, qx_a)
 
-    # zundel atom effective positions: donor at own position, acceptor
-    # shifted by the donor-COM minimum image
-    zx = jnp.concatenate([x[d_ai], x[a_ai] - shift_a[None, :]], axis=0)
+    # zundel atom effective positions: each molecule "made whole" against
+    # its first atom (the transferred proton can be split across the
+    # boundary -- cf. make_molecule_whole, ms_evb.f90:876), donor at its
+    # own position, acceptor shifted by the donor-COM minimum image
+    def whole(ai):
+        xa = x[ai]
+        return xa[:1] + pbc.min_image(xa - xa[:1], box)
+
+    zx = jnp.concatenate([whole(d_ai), whole(a_ai) - shift_a[None, :]],
+                         axis=0)
     zq = jnp.concatenate([qx_d, qx_a])                     # (2A,)
 
     solvent = (topo.atom_mol != d) & (topo.atom_mol != a)  # (N,)

@@ -74,7 +74,10 @@ def ms_evb_repulsion(x, box, topo: Topology, system: System):
     # with the proton min-imaged using the heavy-atom pair shift
     shift_jO = jax.lax.stop_gradient((r_heavy[None, :] - x) - d_jO)  # (N,3)
     is_proton = (types == proton_t) & amask                           # (A,)
-    r_H = x[atoms]                                                    # (A, 3)
+    # protons min-imaged against the heavy atom: the hydronium can be split
+    # across the boundary in a diabat topology
+    r_H = r_heavy[None, :] + pbc.min_image(x[atoms] - r_heavy[None, :],
+                                           box)                       # (A, 3)
     # proton position in the j-local frame: r_H - shift (same lattice shift
     # as the heavy atom, cf. ms_evb.f90:2363)
     d_jH = (r_H[None, :, :] - shift_jO[:, None, :]) - x[:, None, :]   # (N,A,3)

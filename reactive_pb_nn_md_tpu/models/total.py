@@ -66,7 +66,7 @@ def realspace_inter(x, box, topo: Topology, system: System, pairs):
             jnp.sum(jnp.where(within, e_vdw, zero)))
 
 
-def intra_nonbonded(x, topo: Topology, system: System):
+def intra_nonbonded(x, box, topo: Topology, system: System):
     """Intra-molecular nonbonded over per-type template pairs.
 
     Exclusion codes (intra_bonded_interactions.f90:574-617): 1 = excluded
@@ -92,7 +92,9 @@ def intra_nonbonded(x, topo: Topology, system: System):
     valid = valid.reshape(-1)
     code = code.reshape(-1)
 
-    dr = x[gi] - x[gj]
+    # minimum image: a diabat's acceptor molecule can be split across the
+    # periodic boundary (positions are shared across diabats)
+    dr = pbc.min_image(x[gi] - x[gj], box)
     r2 = jnp.sum(dr * dr, axis=-1)
     r2 = jnp.where(valid, r2, 1.0)
     r = jnp.sqrt(r2)
@@ -124,9 +126,9 @@ def energy_no_recip(x, box, topo: Topology, system: System, pairs):
     """All terms except reciprocal PME (which the EVB layer batches over
     diabats with delta-Q grids).  Includes Ewald self (charge-dependent)."""
     e_real_elec, e_real_vdw = realspace_inter(x, box, topo, system, pairs)
-    e_intra_elec, e_intra_vdw = intra_nonbonded(x, topo, system)
+    e_intra_elec, e_intra_vdw = intra_nonbonded(x, box, topo, system)
     e_self = pme.ewald_self(topo.charge, system.alpha_sqrt)
-    e_bond, e_angle, e_dihedral = bonded.bonded_energies(x, topo, system)
+    e_bond, e_angle, e_dihedral = bonded.bonded_energies(x, box, topo, system)
     return EnergyBreakdown(
         total=(e_real_elec + e_intra_elec + e_self + e_real_vdw
                + e_intra_vdw + e_bond + e_angle + e_dihedral),
@@ -139,14 +141,14 @@ def total_energy(x, box, topo: Topology, system: System, pairs, cbw):
     """Full potential energy of one topology (= one diabat diagonal, minus
     the EVB repulsion/reference terms handled by the EVB layer)."""
     e_real_elec, e_real_vdw = realspace_inter(x, box, topo, system, pairs)
-    e_intra_elec, e_intra_vdw = intra_nonbonded(x, topo, system)
+    e_intra_elec, e_intra_vdw = intra_nonbonded(x, box, topo, system)
 
     K = system.pme_grid
     Q = pme.charge_grid(x, topo.charge, box, K, system.spline_order)
     e_recip = pme.recip_energy(Q, cbw)
     e_self = pme.ewald_self(topo.charge, system.alpha_sqrt)
 
-    e_bond, e_angle, e_dihedral = bonded.bonded_energies(x, topo, system)
+    e_bond, e_angle, e_dihedral = bonded.bonded_energies(x, box, topo, system)
 
     e_elec = e_real_elec + e_intra_elec + e_recip + e_self
     e_vdw = e_real_vdw + e_intra_vdw

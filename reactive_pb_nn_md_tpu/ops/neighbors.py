@@ -49,6 +49,7 @@ def suggest_capacity(n_atoms, volume, cutoff, safety=1.2):
 def build_neighbor_list(x, box, cutoff, capacity, chunk=512):
     """Half neighbor list (j > i) of all atom pairs within cutoff."""
     N = x.shape[0]
+    capacity = min(capacity, N - 1)
     n_chunks = -(-N // chunk)
     pad_n = n_chunks * chunk
     xp = jnp.pad(x, ((0, pad_n - N), (0, 0)))

@@ -27,6 +27,11 @@ def main(argv=None):
                    help="jax platform override (cpu / tpu)")
     p.add_argument("--steps", type=int, default=None,
                    help="override n_step from the parameter file")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax profiler trace of the run into DIR "
+                        "(the step is one compiled program, so per-phase "
+                        "timing comes from the XLA profile; replaces the "
+                        "reference's debug=1 wall-clock brackets)")
     args = p.parse_args(argv)
 
     import jax
@@ -38,7 +43,11 @@ def main(argv=None):
     sim = Simulation(args.gro, args.ffpmt, args.top, args.simpmt,
                      args.traj, args.log, args.hop, args.afile)
     n = args.steps if args.steps is not None else sim.cfg.n_step
-    elapsed = sim.run(n)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            elapsed = sim.run(n)
+    else:
+        elapsed = sim.run(n)
     print(f"completed {n} steps in {elapsed:.2f} s "
           f"({n / max(elapsed, 1e-9):.2f} steps/s)")
 

@@ -168,6 +168,60 @@ def test_finite_difference_adiabatic_forces(evb_setup):
         np.testing.assert_allclose(force[a, d], fd, rtol=5e-5, atol=5e-5)
 
 
+def test_boundary_crossing_invariance(evb_setup):
+    """Translating the system so the hydronium straddles the periodic
+    boundary must not change the adiabatic surface: diabat topologies with
+    molecules split across the boundary are handled by minimum-image
+    bonded/intra/coupling terms (the reference instead re-wraps per-diabat
+    coordinate copies, make_molecule_whole ms_evb.f90:876)."""
+    system, topo, x, box, pairs, cbw = evb_setup
+    res0, _ = ham.adiabatic_energy_force(x, box, topo, system, pairs, cbw)
+
+    # translate the hydronium oxygen onto the box corner
+    h = int(topo.hydronium_mol)
+    o_atom = int(topo.mol_atoms[h, 0])
+    shift = jnp.asarray(np.asarray(box)[0] * 0.5
+                        + np.asarray(box)[1] * 0.5) - x[o_atom]
+    from reactive_pb_nn_md_tpu.utils import pbc as pbcmod
+    x2 = pbcmod.wrap_into_box(x + shift, box)
+    nlist2 = neighbors.build_neighbor_list(x2, box, system.verlet_cutoff,
+                                           200)
+    pairs2 = neighbors.neighbor_pairs(nlist2)
+    res2, batch2 = ham.adiabatic_energy_force(x2, box, topo, system, pairs2,
+                                              cbw)
+
+    assert int(res2.n_states) == int(res0.n_states)
+    # prove the path is exercised: some diabat molecule must be split
+    # across the boundary in raw coordinates
+    L = float(np.asarray(box)[0, 0])
+    split = False
+    for s in range(1, int(res2.n_states)):
+        t = jax.tree_util.tree_map(lambda a: a[s], batch2.topo)
+        for m in np.unique(np.asarray(dset_mols(t))):
+            atoms = [a for a in np.asarray(t.mol_atoms[m]) if a >= 0]
+            ext = np.asarray(x2)[atoms].max(0) - np.asarray(x2)[atoms].min(0)
+            if np.any(ext > L / 2):
+                split = True
+    assert split, "translated configuration exercises no split molecule"
+
+    # a wrong (non-minimum-image) bonded/intra term for a split molecule
+    # would be off by hundreds of kJ/mol; cutoff-crossing truncation noise
+    # for a large rigid translation is O(0.3) (one LJ pair at the cutoff)
+    np.testing.assert_allclose(float(res2.energy), float(res0.energy),
+                               atol=1.0)
+    H0 = np.asarray(res0.hamiltonian)
+    H2 = np.asarray(res2.hamiltonian)
+    n = int(res0.n_states)
+    np.testing.assert_allclose(np.diag(H2)[:n], np.diag(H0)[:n], atol=1.0)
+
+
+def dset_mols(t):
+    """Molecules owning a transferred proton in this diabat (hydronium +
+    everything whose natom differs from... simply: all molecules)."""
+    import numpy as _np
+    return _np.arange(t.mol_mtype.shape[0])
+
+
 def test_symmetric_zundel(tmp_path_factory):
     """H5O2+ with mirror symmetry: two diabats, equal diagonals, |c| equal."""
     tmp = tmp_path_factory.mktemp("zundel")

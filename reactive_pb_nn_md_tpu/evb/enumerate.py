@@ -67,21 +67,24 @@ def molecule_com(x, topo: Topology, mass, box=None):
 
 
 def enumerate_diabats(x, box, topo: Topology, system: System) -> DiabatSet:
-    """Fixed-shape BFS over proton-hop chains."""
+    """Level-synchronous BFS over proton-hop chains.
+
+    TPU-shaped: evb_max_chain (3) batched expansion rounds, each expanding
+    EVERY state of the previous level at once (vmap), instead of a
+    sequential per-state loop -- the per-level candidate search is one
+    (S, A, N) distance computation."""
     x = jax.lax.stop_gradient(x)
     S = system.evb_max_states
     C = system.evb_max_chain
     Anb = min(system.evb_max_neighbors, system.n_atoms)
     A = system.max_atoms_per_mol
-    N = system.n_atoms
     mt = system.mt
 
     com = molecule_com(x, topo, system.mass, box)         # (M, 3)
-    # per-atom reactive-base flag in principle topology
     base_atom = mt.reactive_bases[topo.mol_mtype[topo.atom_mol],
                                   topo.atom_slot] > 0     # (N,)
-
     principle_h = topo.hydronium_mol
+    sidx = jnp.arange(S, dtype=jnp.int32)
 
     hop_log = jnp.full((S, C, 5), -1, dtype=jnp.int32)
     n_hops = jnp.zeros((S,), jnp.int32)
@@ -89,78 +92,77 @@ def enumerate_diabats(x, box, topo: Topology, system: System) -> DiabatSet:
     donor_of = jnp.full((S,), -1, jnp.int32)
     donor_of = donor_of.at[0].set(principle_h)
     stop = jnp.zeros((S,), bool)
+    overflow = jnp.asarray(False)
 
-    def cond(carry):
-        head, count, *_ = carry
-        return (head < count) & (head < S)
+    # COM neighborhood of every molecule, reused by all levels
+    dcom = pbc.min_image(com[:, None, :] - com[None, :, :], box)
+    com_ok = jnp.sum(dcom * dcom, -1) < EVB_FIRST_SOLVATION_CUTOFF ** 2
 
-    def body(carry):
-        head, count, hop_log, n_hops, parent, donor_of, stop, overflow = carry
-        d = donor_of[head]
-        expandable = (~stop[head]) & (n_hops[head] < C)
-
-        # ---- candidate acceptors for every reactive proton slot of d
+    def expand_one(d, active):
+        """Candidates (A, Anb) for donor molecule d (principle topology)."""
         d_mtype = topo.mol_mtype[d]
         d_atoms = topo.mol_atoms[d]                        # (A,)
         proton_ok = (mt.reactive_protons[d_mtype] > 0) & (d_atoms >= 0)
-        g_p = jnp.maximum(d_atoms, 0)                      # (A,)
-
+        g_p = jnp.maximum(d_atoms, 0)
         dr = pbc.min_image(x[g_p][:, None, :] - x[None, :, :], box)
         dist2 = jnp.sum(dr * dr, axis=-1)                  # (A, N)
-        dcom = pbc.min_image(com[d][None, :] - com, box)
-        com_ok = jnp.sum(dcom * dcom, -1) < EVB_FIRST_SOLVATION_CUTOFF ** 2
         cand = (proton_ok[:, None] & base_atom[None, :]
                 & (topo.atom_mol[None, :] != d)
-                & com_ok[topo.atom_mol][None, :]
+                & com_ok[d][topo.atom_mol][None, :]
                 & (dist2 < EVB_REACTIVE_PAIR_DISTANCE ** 2)
-                & expandable)
-
-        # keep at most evb_max_neighbors acceptors per proton, ascending
-        # atom order (matches the reference's molecule-order scan)
-        order = jnp.argsort(~cand, axis=1, stable=True)[:, :Anb]   # (A, Anb)
+                & active)
+        order = jnp.argsort(~cand, axis=1, stable=True)[:, :Anb]
         order = order.astype(jnp.int32)
-        sel = jnp.take_along_axis(cand, order, axis=1)             # (A, Anb)
-        j_atom = jnp.where(sel, order, -1).reshape(-1)             # (A*Anb,)
-        p_slot = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[:, None],
-                                  (A, Anb)).reshape(-1)
-        valid = j_atom >= 0
+        sel = jnp.take_along_axis(cand, order, axis=1)
+        j_atom = jnp.where(sel, order, -1)                 # (A, Anb)
+        heavy_slot = mt.bonded_heavy_slot[d_mtype]         # (A,)
+        heavy_g = jnp.where(heavy_slot >= 0,
+                            d_atoms[jnp.maximum(heavy_slot, 0)], -1)
+        return j_atom, g_p, heavy_g
 
-        n_new = jnp.sum(valid).astype(jnp.int32)
-        slot = count + jnp.cumsum(valid).astype(jnp.int32) - 1
+    lvl_begin = jnp.asarray(0, jnp.int32)
+    lvl_end = jnp.asarray(1, jnp.int32)
+
+    for level in range(C):
+        at_level = (sidx >= lvl_begin) & (sidx < lvl_end) & (~stop)
+        d_all = jnp.maximum(donor_of, 0)
+        j_atom, g_p, heavy_g = jax.vmap(expand_one)(d_all, at_level)
+        # flatten (S, A, Anb) in state-major, proton-major order (matches
+        # the reference's per-donor proton loop ordering)
+        j_flat = j_atom.reshape(-1)
+        valid = j_flat >= 0
+        src_state = jnp.repeat(sidx, A * Anb)
+        p_rep = jnp.broadcast_to(
+            jnp.arange(A, dtype=jnp.int32)[None, :, None],
+            (S, A, Anb)).reshape(-1)
+
+        slot = lvl_end + jnp.cumsum(valid).astype(jnp.int32) - 1
         ok = valid & (slot < S)
         tgt = jnp.where(ok, slot, S)                       # S = dump row
 
-        j_safe = jnp.maximum(j_atom, 0)
+        j_safe = jnp.maximum(j_flat, 0)
         a_mol = topo.atom_mol[j_safe]
-        proton_g = g_p[p_slot]
-        heavy_slot = mt.bonded_heavy_slot[d_mtype, p_slot]
-        heavy_g = jnp.where(heavy_slot >= 0,
-                            d_atoms[jnp.maximum(heavy_slot, 0)], -1)
+        d_flat = d_all[src_state]
+        proton_g = g_p[src_state, p_rep]
+        heavy_flat = heavy_g[src_state, p_rep]
 
-        new_hop = jnp.stack([jnp.full_like(j_atom, d), proton_g, heavy_g,
-                             a_mol, j_safe], axis=-1)      # (A*Anb, 5)
+        new_hop = jnp.stack([d_flat, proton_g, heavy_flat, a_mol, j_safe],
+                            axis=-1)                       # (S*A*Anb, 5)
+        chain = hop_log[src_state]                         # (S*A*Anb, C, 5)
+        chain = chain.at[:, level, :].set(new_hop)
 
-        # append: copy parent chain + write new hop at row n_hops[head]
         pad = lambda arr: jnp.concatenate(
             [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], axis=0)
-        chain = jnp.broadcast_to(hop_log[head], (A * Anb, C, 5))
-        chain = chain.at[:, n_hops[head], :].set(new_hop)
         hop_log = pad(hop_log).at[tgt].set(chain)[:S]
-        n_hops = pad(n_hops).at[tgt].set(n_hops[head] + 1)[:S]
-        parent = pad(parent).at[tgt].set(head)[:S]
+        n_hops = pad(n_hops).at[tgt].set(level + 1)[:S]
+        parent = pad(parent).at[tgt].set(src_state)[:S]
         donor_of = pad(donor_of).at[tgt].set(a_mol)[:S]
-        # cycle: acceptor is the principle hydronium -> don't expand further
         stop = pad(stop).at[tgt].set(a_mol == principle_h)[:S]
 
-        overflow = overflow | (count + n_new > S)
-        count = jnp.minimum(count + n_new, S)
-        return head + 1, count, hop_log, n_hops, parent, donor_of, stop, \
-            overflow
+        n_new = jnp.sum(valid).astype(jnp.int32)
+        overflow = overflow | (lvl_end + n_new > S)
+        lvl_begin = lvl_end
+        lvl_end = jnp.minimum(lvl_end + n_new, S)
 
-    init = (jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32), hop_log,
-            n_hops, parent, donor_of, stop, jnp.asarray(False))
-    head, count, hop_log, n_hops, parent, donor_of, stop, overflow = \
-        jax.lax.while_loop(cond, body, init)
-
-    return DiabatSet(n_states=count, hop_log=hop_log, n_hops=n_hops,
+    return DiabatSet(n_states=lvl_end, hop_log=hop_log, n_hops=n_hops,
                      parent=parent, hydronium_of=donor_of, overflow=overflow)

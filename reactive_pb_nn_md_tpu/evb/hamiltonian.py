@@ -32,22 +32,11 @@ from .topology_ops import build_diabat_topologies, DiabatBatch
 INACTIVE_DIAG = 1.0e8
 
 
-def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
-                             pairs, cbw, base_charge):
-    """All H_ii in one batched evaluation."""
-    S = system.evb_max_states
+def _recip_batched(x, box, batch: DiabatBatch, system: System, cbw,
+                   base_charge):
+    """Per-diabat reciprocal energies: base grid + batched delta scatters of
+    only the changed atoms + ONE batched FFT."""
     K = system.pme_grid
-
-    def one(topo_d, changed, cmask):
-        bd = total_mod.energy_no_recip(x, box, topo_d, system, pairs)
-        e_rep = repulsion.ms_evb_repulsion(x, box, topo_d, system)
-        e_ref = repulsion.reference_energy(topo_d, system)
-        return bd, e_rep + e_ref
-
-    bds, extra = jax.vmap(one)(batch.topo, batch.changed_atoms,
-                               batch.changed_mask)
-
-    # reciprocal space: base grid + batched delta scatters + one batched FFT
     Q0 = pme.charge_grid(x, base_charge, box, K, system.spline_order)
 
     def dq_one(topo_d, changed, cmask):
@@ -58,10 +47,101 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
 
     dQ = jax.vmap(dq_one)(batch.topo, batch.changed_atoms,
                           batch.changed_mask)              # (S, K, K, K)
-    e_recip = pme.recip_energy_batched(Q0[None] + dQ, cbw)  # (S,)
+    return pme.recip_energy_batched(Q0[None] + dQ, cbw)    # (S,)
 
+
+def diabat_diagonal_energies_full(x, box, batch: DiabatBatch, system: System,
+                                  pairs, cbw, base_charge):
+    """Reference implementation: full per-diabat recompute, vmapped.
+    Kept as the ground truth for the delta path (tested equal)."""
+
+    def one(topo_d):
+        bd = total_mod.energy_no_recip(x, box, topo_d, system, pairs)
+        e_rep = repulsion.ms_evb_repulsion(x, box, topo_d, system)
+        e_ref = repulsion.reference_energy(topo_d, system)
+        return bd, e_rep + e_ref
+
+    bds, extra = jax.vmap(one)(batch.topo)
+    e_recip = _recip_batched(x, box, batch, system, cbw, base_charge)
     diag = bds.total + extra + e_recip
-    return diag, bds, e_recip
+    bd0 = jax.tree_util.tree_map(lambda a: a[0], bds)
+    return diag, bd0, e_recip
+
+
+def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
+                             pairs, cbw, base_charge, topo0, full_idx):
+    """Delta formulation of the diagonals (the TPU analog of the
+    reference's O(N) incremental diabat updates, ms_evb.f90:1421-1559):
+
+        H_ii = E_0(no recip) + dE_i + E_recip,i + E_rep,i + E_ref,i
+
+    where dE_i touches only pairs with an endpoint in the hop chain's
+    molecules.  Positions are identical across diabats, so every pair
+    between two unchanged molecules cancels exactly."""
+    from ..utils.constants import CONV_E2A_KJMOL
+    from ..utils.constants import SQRT_PI
+    S = system.evb_max_states
+    N = system.n_atoms
+    C2 = batch.changed_atoms.shape[1]
+    Kf = full_idx.shape[1]
+
+    bd0 = total_mod.energy_no_recip(x, box, topo0, system, pairs)
+
+    dset = batch.dset
+
+    def delta_one(topo_d, changed, cmask, hop_log_s):
+        csafe = jnp.maximum(changed, 0)
+        is_changed = jnp.zeros((N,), jnp.int32).at[csafe].max(
+            cmask.astype(jnp.int32))
+        rows = full_idx[csafe]                             # (C, Kf)
+        gj = jnp.maximum(rows, 0)
+        pm = cmask[:, None] & (rows >= 0)
+        gi = jnp.broadcast_to(csafe[:, None], (C2, Kf))
+        both = pm & (is_changed[gj] > 0)
+        w = jnp.where(both, 0.5, 1.0)
+        gi_f, gj_f = gi.reshape(-1), gj.reshape(-1)
+        pm_f, w_f = pm.reshape(-1), w.reshape(-1)
+
+        e_el_d, e_vdw_d = total_mod.realspace_pairs(
+            x, box, topo_d, system, gi_f, gj_f, pm_f, w_f)
+        e_el_0, e_vdw_0 = total_mod.realspace_pairs(
+            x, box, topo0, system, gi_f, gj_f, pm_f, w_f)
+
+        # hop-chain molecules, deduplicated (consecutive hops share one)
+        mols = jnp.concatenate([hop_log_s[:, 0], hop_log_s[:, 3]])
+        mvalid = mols >= 0
+        eq = mols[:, None] == mols[None, :]
+        seen = jnp.any(jnp.tril(eq, -1) & mvalid[None, :], axis=1)
+        mvalid = mvalid & ~seen
+
+        ie_d, iv_d = total_mod.intra_nonbonded(x, box, topo_d, system,
+                                               mols, mvalid)
+        ie_0, iv_0 = total_mod.intra_nonbonded(x, box, topo0, system,
+                                               mols, mvalid)
+        b_d = total_mod.bonded.bonded_energies(x, box, topo_d, system,
+                                               mols, mvalid)
+        b_0 = total_mod.bonded.bonded_energies(x, box, topo0, system,
+                                               mols, mvalid)
+
+        q_d = topo_d.charge[csafe]
+        q_0 = base_charge[csafe]
+        dself = -system.alpha_sqrt / SQRT_PI * CONV_E2A_KJMOL * jnp.sum(
+            jnp.where(cmask, q_d * q_d - q_0 * q_0, 0.0))
+
+        e_rep = repulsion.ms_evb_repulsion(x, box, topo_d, system)
+        e_ref = repulsion.reference_energy(topo_d, system)
+
+        delta = ((e_el_d - e_el_0) + (e_vdw_d - e_vdw_0)
+                 + (ie_d - ie_0) + (iv_d - iv_0)
+                 + sum(b_d) - sum(b_0) + dself)
+        return delta, e_rep + e_ref
+
+    deltas, extra = jax.vmap(delta_one)(
+        batch.topo, batch.changed_atoms, batch.changed_mask, dset.hop_log)
+
+    e_recip = _recip_batched(x, box, batch, system, cbw, base_charge)
+    diag = bd0.total + deltas + extra + e_recip
+    return diag, bd0, e_recip
 
 
 def coupling_elements(x, box, batch: DiabatBatch, system: System):
@@ -82,14 +162,18 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System):
 
 
 def assemble_hamiltonian(x, box, batch: DiabatBatch, system: System,
-                         pairs, cbw, base_charge):
+                         pairs, cbw, base_charge, topo0, full_idx):
     S = system.evb_max_states
     dset = batch.dset
     sidx = jnp.arange(S)
     active = sidx < dset.n_states
 
-    diag, bds, e_recip = diabat_diagonal_energies(
-        x, box, batch, system, pairs, cbw, base_charge)
+    diag, bd0, e_recip = diabat_diagonal_energies(
+        x, box, batch, system, pairs, cbw, base_charge, topo0, full_idx)
+    # fold the principle diabat's reciprocal energy into the reported
+    # decomposition (E_elec includes recip+self, reference print_step)
+    bds = bd0.replace(elec=bd0.elec + e_recip[0],
+                      total=bd0.total + e_recip[0])
     offdiag = coupling_elements(x, box, batch, system)
 
     # park inactive states far above, with distinct values (degenerate
@@ -119,15 +203,24 @@ class EvbResult:
 
 
 def adiabatic_energy_force(x, box, topo: Topology, system: System,
-                           pairs, cbw) -> tuple:
+                           pairs, cbw, full_idx=None) -> tuple:
     """Full MS-EVB force/energy evaluation; returns (EvbResult, DiabatBatch)."""
     dset = enumerate_diabats(x, box, topo, system)
     batch = build_diabat_topologies(topo, dset, system)
     base_charge = topo.charge
+    if full_idx is None:
+        # derive a full adjacency from the half pair list is not possible
+        # here; callers on the hot path pass nlist.full_idx.  Fallback:
+        # dense all-pairs rows (testing convenience only).
+        i, j, mask = pairs
+        N = system.n_atoms
+        full_idx = jnp.where(
+            jnp.eye(N, dtype=bool), -1,
+            jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (N, N)))
 
     def etot(xx):
         H, bds, _ = assemble_hamiltonian(xx, box, batch, system, pairs, cbw,
-                                         base_charge)
+                                         base_charge, topo, full_idx)
         w, v = jnp.linalg.eigh(jax.lax.stop_gradient(H))
         ground = jnp.argmin(w)
         c = jax.lax.stop_gradient(v[:, ground])
@@ -138,9 +231,8 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
 
     principle = jnp.argmax(jnp.abs(c))
     new_h = dset.hydronium_of[principle]
-    bd0 = jax.tree_util.tree_map(lambda a: a[0], bds)
     result = EvbResult(
         energy=energy, force=-grad, eigenvector=c, n_states=dset.n_states,
         principle=principle.astype(jnp.int32), new_hydronium=new_h,
-        hamiltonian=H, breakdown=bd0, overflow=dset.overflow)
+        hamiltonian=H, breakdown=bds, overflow=dset.overflow)
     return result, batch

@@ -75,7 +75,7 @@ def evaluate_forces(x, box, topo, system: System, nlist, cbw):
     S = system.evb_max_states
     if system.ms_evb:
         res, batch = ham.adiabatic_energy_force(x, box, topo, system, pairs,
-                                                cbw)
+                                                cbw, full_idx=nlist.full_idx)
         new_topo = jax.tree_util.tree_map(
             lambda a: a[res.principle], batch.topo)
         hopped = res.new_hydronium != topo.hydronium_mol
@@ -131,6 +131,44 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
                    n_states=n_states, eigenvector=eigvec, hopped=hopped,
                    force_overflow=force_overflow,
                    nbr_overflow=nlist.overflow)
+
+
+@struct.dataclass
+class ChunkDiagnostics:
+    """Per-step scalars stacked over a scanned chunk (tiny host transfer)."""
+    potential: jnp.ndarray
+    kinetic: jnp.ndarray
+    n_states: jnp.ndarray
+    hopped: jnp.ndarray
+    hydronium: jnp.ndarray
+    max_ci2: jnp.ndarray
+    force_overflow: jnp.ndarray
+    nbr_overflow: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("ensemble", "n_steps"))
+def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
+            n_steps: int, friction: float = 0.1,
+            temperature: float = 300.0):
+    """n_steps MD steps in ONE dispatched program (lax.scan).
+
+    Device dispatch through the host costs ~30 ms on this TPU stack; the
+    whole step is jittable, so scanning amortizes that to nothing.  Host
+    interaction (logging, trajectory, checkpoint) happens once per chunk."""
+
+    def body(ms, _):
+        ms = md_step.__wrapped__(ms, system, cbw, dt, ensemble, friction,
+                                 temperature)
+        diag = ChunkDiagnostics(
+            potential=ms.potential, kinetic=ms.kinetic,
+            n_states=ms.n_states, hopped=ms.hopped,
+            hydronium=ms.topo.hydronium_mol,
+            max_ci2=jnp.max(ms.eigenvector ** 2),
+            force_overflow=ms.force_overflow,
+            nbr_overflow=ms.nbr_overflow)
+        return ms, diag
+
+    return jax.lax.scan(body, ms, None, length=n_steps)
 
 
 def initial_md_state(state: State, topo: Topology, system: System, cbw,

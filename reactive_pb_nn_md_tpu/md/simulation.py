@@ -199,7 +199,31 @@ class Simulation:
                  hydronium_mol=np.asarray(topo.hydronium_mol))
 
     # ------------------------------------------------------------------
+    def _next_chunk(self, step, end):
+        """Steps until the next host-interaction boundary (output,
+        checkpoint, barostat, end of run)."""
+        cfg = self.cfg
+        n = end - step
+        n = min(n, cfg.n_output - step % cfg.n_output)
+        if cfg.checkpoint_velocity:
+            n = min(n, cfg.checkpoint_velocity
+                    - step % cfg.checkpoint_velocity)
+        if self.barostat is not None:
+            n = min(n, cfg.barofreq - step % cfg.barofreq)
+        n = max(int(n), 1)
+        # quantize to a power of two: every distinct scan length is a
+        # separate XLA compilation (minutes on this TPU stack)
+        p = 1
+        while p * 2 <= n:
+            p *= 2
+        return min(p, 64)
+
     def run(self, n_steps=None, quiet=False):
+        """Host loop around scanned device chunks.
+
+        One device dispatch covers all steps to the next host-interaction
+        boundary (output/checkpoint/barostat); per-step diagnostics (hop
+        events, overflow flags) come back as stacked scalars."""
         cfg = self.cfg
         n_steps = n_steps if n_steps is not None else cfg.n_step
         self._open_outputs()
@@ -210,35 +234,42 @@ class Simulation:
 
         ensemble = "NVT" if cfg.ensemble == "NVT" else cfg.ensemble
         t0 = time.time()
-        for i in range(1, n_steps + 1):
-            step = self.start_step + i
-
-            if self.barostat is not None and step % cfg.barofreq == 0:
-                old_h = int(self.ms.topo.hydronium_mol)
+        step = self.start_step
+        end = self.start_step + n_steps
+        abort = False
+        while step < end and not abort:
+            if self.barostat is not None and step % cfg.barofreq == 0 \
+                    and step > self.start_step:
                 self.ms, self.cbw = self.barostat.attempt(
                     self.ms, self.system, self.cbw)
 
-            prev_h = int(self.ms.topo.hydronium_mol) if self.system.ms_evb \
-                else -1
-            self.ms = integrators.md_step(
+            chunk = self._next_chunk(step, end)
+            prev_h = int(self.ms.topo.hydronium_mol)
+            self.ms, diag = integrators.md_scan(
                 self.ms, self.system, self.cbw, cfg.delta_t, ensemble,
-                cfg.friction_coeff, cfg.temperature)
+                chunk, cfg.friction_coeff, cfg.temperature)
 
-            if bool(self.ms.nbr_overflow):
-                self._retry_capacity_if_overflow()
-
-            if self.system.ms_evb and bool(self.ms.hopped):
-                new_h = int(self.ms.topo.hydronium_mol)
-                self.hop_f.write(f"step  {step}\n proton hop from "
-                                 f"{prev_h + 1} to {new_h + 1}\n")
+            hopped = np.asarray(diag.hopped)
+            hyds = np.asarray(diag.hydronium)
+            if self.system.ms_evb and hopped.any():
+                for k in np.nonzero(hopped)[0]:
+                    old = prev_h if k == 0 else int(hyds[k - 1])
+                    self.hop_f.write(f"step  {step + int(k) + 1}\n proton "
+                                     f"hop from {old + 1} to "
+                                     f"{int(hyds[k]) + 1}\n")
                 self.hop_f.flush()
 
-            if bool(self.ms.force_overflow):
-                self.log_f.write(f"step {step}: force magnitude exceeded "
+            if np.asarray(diag.nbr_overflow).any():
+                self._retry_capacity_if_overflow()
+            fo = np.asarray(diag.force_overflow)
+            if fo.any():
+                bad = step + int(np.nonzero(fo)[0][0]) + 1
+                self.log_f.write(f"step {bad}: force magnitude exceeded "
                                  f"1e4 kJ/mol/A -- aborting (reference "
                                  f"behavior, md_integration.f90:523-526)\n")
-                break
+                abort = True
 
+            step += chunk
             if step % cfg.n_output == 0:
                 self._log_step(step)
                 self._write_frame(step)
@@ -247,9 +278,10 @@ class Simulation:
                 self._checkpoint(step)
 
         elapsed = time.time() - t0
+        done = step - self.start_step
         if not quiet:
-            self.log_f.write(f"completed {n_steps} steps in {elapsed:.2f} s "
-                             f"({n_steps / max(elapsed, 1e-9):.2f} steps/s)\n")
+            self.log_f.write(f"completed {done} steps in {elapsed:.2f} s "
+                             f"({done / max(elapsed, 1e-9):.2f} steps/s)\n")
         self.traj_f.close()
         self.log_f.close()
         self.hop_f.close()

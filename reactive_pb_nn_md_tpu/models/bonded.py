@@ -27,30 +27,45 @@ from ..utils import pbc
 
 
 def _safe_acos(c):
-    eps = 1e-9
+    # epsilon must survive the dtype: 1 - 1e-9 rounds to 1.0 in fp32, which
+    # puts clipped values exactly at the acos singularity (infinite grad)
+    eps = 1e-6 if c.dtype == jnp.float32 else 1e-9
     return jnp.arccos(jnp.clip(c, -1.0 + eps, 1.0 - eps))
 
 
-def _gather_pairs(topo, system, idx_table):
+def _gather_pairs(topo, system, idx_table, mols=None, mmask=None):
     """Resolve template index tables to global atom indices.
 
     idx_table: (MT, S, arity) local slot indices, -1 padded.
+    mols/mmask: optional molecule subset (the EVB delta diagonals evaluate
+    bonded terms only for hop-chain molecules).
     Returns (global_idx (M*S, arity), mask (M*S,)).
     """
-    mt_of_mol = topo.mol_mtype                        # (M,)
+    if mols is None:
+        mt_of_mol = topo.mol_mtype                    # (M,)
+        mol_atoms = topo.mol_atoms
+        sub_mask = None
+    else:
+        safe_m = jnp.maximum(mols, 0)
+        mt_of_mol = topo.mol_mtype[safe_m]
+        mol_atoms = topo.mol_atoms[safe_m]
+        sub_mask = mmask
     table = idx_table[mt_of_mol]                      # (M, S, arity)
     mask = table[..., 0] >= 0                         # (M, S)
+    if sub_mask is not None:
+        mask = mask & sub_mask[:, None]
     safe = jnp.maximum(table, 0)
     gidx = jnp.take_along_axis(
-        topo.mol_atoms[:, None, :],                   # (M, 1, A)
+        mol_atoms[:, None, :],                        # (M, 1, A)
         safe, axis=2)                                 # (M, S, arity)
     M, S, ar = gidx.shape
     return gidx.reshape(M * S, ar), mask.reshape(M * S)
 
 
-def bond_energy(x, box, topo: Topology, system: System):
+def bond_energy(x, box, topo: Topology, system: System, mols=None,
+                mmask=None):
     ff = system.ff
-    gidx, mask = _gather_pairs(topo, system, system.mt.bonds)
+    gidx, mask = _gather_pairs(topo, system, system.mt.bonds, mols, mmask)
     ti = topo.atom_type[gidx[:, 0]]
     tj = topo.atom_type[gidx[:, 1]]
     func = ff.bond_func[ti, tj]
@@ -71,9 +86,10 @@ def bond_energy(x, box, topo: Topology, system: System):
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
-def angle_energy(x, box, topo: Topology, system: System):
+def angle_energy(x, box, topo: Topology, system: System, mols=None,
+                 mmask=None):
     ff = system.ff
-    gidx, mask = _gather_pairs(topo, system, system.mt.angles)
+    gidx, mask = _gather_pairs(topo, system, system.mt.angles, mols, mmask)
     ti = topo.atom_type[gidx[:, 0]]
     tj = topo.atom_type[gidx[:, 1]]
     tk = topo.atom_type[gidx[:, 2]]
@@ -84,7 +100,8 @@ def angle_energy(x, box, topo: Topology, system: System):
     r_kj = pbc.min_image(x[gidx[:, 2]] - x[gidx[:, 1]], box)
     nij2 = jnp.where(mask, jnp.sum(r_ij * r_ij, -1), 1.0)
     nkj2 = jnp.where(mask, jnp.sum(r_kj * r_kj, -1), 1.0)
-    cos_t = jnp.sum(r_ij * r_kj, -1) / jnp.sqrt(nij2 * nkj2)
+    cos_t = jnp.where(mask, jnp.sum(r_ij * r_kj, -1), 0.0) \
+        / jnp.sqrt(nij2 * nkj2)
 
     theta = _safe_acos(cos_t)
     e_harm = 0.5 * p[:, 1] * (theta - p[:, 0]) ** 2
@@ -93,9 +110,10 @@ def angle_energy(x, box, topo: Topology, system: System):
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
-def dihedral_energy(x, box, topo: Topology, system: System):
+def dihedral_energy(x, box, topo: Topology, system: System, mols=None,
+                    mmask=None):
     ff = system.ff
-    gidx, mask = _gather_pairs(topo, system, system.mt.dihedrals)
+    gidx, mask = _gather_pairs(topo, system, system.mt.dihedrals, mols, mmask)
     t = [topo.atom_type[gidx[:, k]] for k in range(4)]
     func = ff.dihedral_func[t[0], t[1], t[2], t[3]]
     p = ff.dihedral_params[t[0], t[1], t[2], t[3]]
@@ -113,7 +131,7 @@ def dihedral_energy(x, box, topo: Topology, system: System):
     nkj2 = jnp.sum(r_kj * r_kj, -1)
     nlk2 = jnp.sum(r_lk * r_lk, -1)
 
-    a_dot_b = d_kj_ji * d_lk_kj - d_lk_ji * nkj2
+    a_dot_b = jnp.where(mask, d_kj_ji * d_lk_kj - d_lk_ji * nkj2, 0.0)
     a_dot_a = jnp.where(mask, nji2 * nkj2 - d_kj_ji ** 2, 1.0)
     b_dot_b = jnp.where(mask, nlk2 * nkj2 - d_lk_kj ** 2, 1.0)
     a_dot_a = jnp.maximum(a_dot_a, 1e-12)
@@ -137,7 +155,8 @@ def dihedral_energy(x, box, topo: Topology, system: System):
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
-def bonded_energies(x, box, topo: Topology, system: System):
-    return (bond_energy(x, box, topo, system),
-            angle_energy(x, box, topo, system),
-            dihedral_energy(x, box, topo, system))
+def bonded_energies(x, box, topo: Topology, system: System, mols=None,
+                    mmask=None):
+    return (bond_energy(x, box, topo, system, mols, mmask),
+            angle_energy(x, box, topo, system, mols, mmask),
+            dihedral_energy(x, box, topo, system, mols, mmask))

@@ -24,6 +24,7 @@ from ..topology import System, Topology
 from ..utils import pbc
 from ..utils.constants import CONV_E2A_KJMOL
 from . import nonbonded, bonded, pme
+from ..ops.lookup import pair_lookup
 
 
 @struct.dataclass
@@ -55,8 +56,8 @@ def realspace_inter(x, box, topo: Topology, system: System, pairs):
     e_elec = nonbonded.ewald_real(qq, r, system.alpha_sqrt)
 
     ti, tj = topo.atom_type[i], topo.atom_type[j]
-    vtype = system.ff.vdw_type[ti, tj]
-    params = system.ff.vdw_params[ti, tj]
+    vtype = pair_lookup(system.ff.vdw_type, ti, tj)
+    params = pair_lookup(system.ff.vdw_params, ti, tj)
     e_vdw = nonbonded.vdw_pair_energy(
         vtype, params, params, jnp.zeros_like(within), r, r2s,
         has_sapt=system.has_sapt)
@@ -66,26 +67,64 @@ def realspace_inter(x, box, topo: Topology, system: System, pairs):
             jnp.sum(jnp.where(within, e_vdw, zero)))
 
 
-def intra_nonbonded(x, box, topo: Topology, system: System):
+def realspace_pairs(x, box, topo: Topology, system: System, gi, gj, pmask,
+                    weight):
+    """Real-space inter-molecular energy of an explicit flat pair set.
+
+    Used by the EVB delta diagonals: the pairs touching changed atoms,
+    with weight 1/2 when both endpoints are changed (each such pair is
+    enumerated from both rows of the full adjacency)."""
+    inter = pmask & (topo.atom_mol[gi] != topo.atom_mol[gj])
+    dr = pbc.min_image(x[gi] - x[gj], box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    within = inter & (r2 < system.real_space_cutoff ** 2)
+    r2s = jnp.where(within, r2, 1.0)
+    r = jnp.sqrt(r2s)
+
+    qq = topo.charge[gi] * topo.charge[gj]
+    e_elec = nonbonded.ewald_real(qq, r, system.alpha_sqrt)
+    ti, tj = topo.atom_type[gi], topo.atom_type[gj]
+    vtype = pair_lookup(system.ff.vdw_type, ti, tj)
+    params = pair_lookup(system.ff.vdw_params, ti, tj)
+    e_vdw = nonbonded.vdw_pair_energy(
+        vtype, params, params, jnp.zeros_like(within), r, r2s,
+        has_sapt=system.has_sapt)
+    w = jnp.where(within, weight, 0.0)
+    return jnp.sum(w * e_elec), jnp.sum(w * e_vdw)
+
+
+def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
+                    mmask=None):
     """Intra-molecular nonbonded over per-type template pairs.
 
     Exclusion codes (intra_bonded_interactions.f90:574-617): 1 = excluded
     (gets only the -erf reciprocal correction), 2 = 1-4 (special C12/C6),
-    0 = normal.  No minimum image (molecules whole); vdW has no cutoff,
-    electrostatics does (pair_int_real_space.f90:386-588)."""
+    0 = normal.  vdW has no cutoff, electrostatics does
+    (pair_int_real_space.f90:386-588).  mols/mmask restricts to a molecule
+    subset (EVB delta diagonals)."""
     A = system.max_atoms_per_mol
     iu, ju = np.triu_indices(A, 1)
     iu = jnp.asarray(iu, jnp.int32)
     ju = jnp.asarray(ju, jnp.int32)
 
-    mt = topo.mol_mtype                                   # (M,)
+    if mols is None:
+        mt = topo.mol_mtype                               # (M,)
+        mol_atoms = topo.mol_atoms
+        sub = None
+    else:
+        safe_m = jnp.maximum(mols, 0)
+        mt = topo.mol_mtype[safe_m]
+        mol_atoms = topo.mol_atoms[safe_m]
+        sub = mmask
     natom = system.mt.natom[mt]                           # (M,)
     valid = (ju[None, :] < natom[:, None])                # (M, S)
+    if sub is not None:
+        valid = valid & sub[:, None]
     code = system.mt.excl_code[mt[:, None], iu[None, :], ju[None, :]]
 
-    gi = jnp.take_along_axis(topo.mol_atoms, jnp.broadcast_to(
+    gi = jnp.take_along_axis(mol_atoms, jnp.broadcast_to(
         iu[None, :], (mt.shape[0], iu.shape[0])), axis=1)
-    gj = jnp.take_along_axis(topo.mol_atoms, jnp.broadcast_to(
+    gj = jnp.take_along_axis(mol_atoms, jnp.broadcast_to(
         ju[None, :], (mt.shape[0], ju.shape[0])), axis=1)
     gi = jnp.maximum(gi, 0).reshape(-1)
     gj = jnp.maximum(gj, 0).reshape(-1)
@@ -109,9 +148,9 @@ def intra_nonbonded(x, box, topo: Topology, system: System):
     e_elec = nonbonded.ewald_real(qq, r, system.alpha_sqrt)
 
     ti, tj = topo.atom_type[gi], topo.atom_type[gj]
-    vtype = system.ff.vdw_type[ti, tj]
-    params = system.ff.vdw_params[ti, tj]
-    params14 = system.ff.vdw_params_14[ti, tj]
+    vtype = pair_lookup(system.ff.vdw_type, ti, tj)
+    params = pair_lookup(system.ff.vdw_params, ti, tj)
+    params14 = pair_lookup(system.ff.vdw_params_14, ti, tj)
     e_vdw = nonbonded.vdw_pair_energy(vtype, params, params14, is_14, r, r2,
                                       has_sapt=system.has_sapt)
 

@@ -1,0 +1,33 @@
+"""Table lookups as one-hot matmuls.
+
+XLA:TPU lowers per-element gathers from tiny parameter tables to a
+serialized scatter/gather path (~200 ns/element measured -- the single
+hottest op in the MD step profile).  For a (T,T,C) force-field table with
+T <= ~25, the same lookup is exact as a one-hot (P, T*T) @ (T*T, C) matmul
+on the MXU: products are 0/1 * value, so the result is bit-identical to
+the gather.
+"""
+
+import jax.numpy as jnp
+
+
+def pair_lookup(table, ti, tj):
+    """table[(ti, tj)] for flat index arrays ti, tj.
+
+    table: (T, T) or (T, T, C).  Returns (P,) or (P, C) with the table's
+    dtype (integer tables go through f32, exact for |v| < 2^24)."""
+    T = table.shape[0]
+    squeeze = table.ndim == 2
+    flat = table.reshape(T * T, -1)                    # (T^2, C)
+    idx = (ti.astype(jnp.int32) * T + tj.astype(jnp.int32))
+
+    out_dtype = table.dtype
+    f = flat.astype(jnp.float32) if flat.dtype != jnp.float64 else flat
+    oh = (idx[:, None] == jnp.arange(T * T, dtype=jnp.int32)[None, :])
+    oh = oh.astype(f.dtype)
+    res = oh @ f                                       # (P, C) on the MXU
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        res = jnp.round(res).astype(out_dtype)
+    else:
+        res = res.astype(out_dtype)
+    return res[:, 0] if squeeze else res

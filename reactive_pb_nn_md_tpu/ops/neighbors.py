@@ -30,6 +30,7 @@ from ..utils import pbc
 @struct.dataclass
 class NeighborList:
     idx: jnp.ndarray          # (N, K) int32, -1 padded, j > i half list
+    full_idx: jnp.ndarray     # (N, 2K) int32, -1 padded, all neighbors
     ref_x: jnp.ndarray        # (N, 3) positions at build time
     overflow: jnp.ndarray     # () bool
     capacity: int = struct.field(pytree_node=False, default=0)
@@ -47,9 +48,14 @@ def suggest_capacity(n_atoms, volume, cutoff, safety=1.2):
 
 @functools.partial(jax.jit, static_argnames=("capacity", "chunk"))
 def build_neighbor_list(x, box, cutoff, capacity, chunk=512):
-    """Half neighbor list (j > i) of all atom pairs within cutoff."""
+    """Neighbor lists of all atom pairs within cutoff.
+
+    Builds both views in one sweep: the half list (j > i, used by the main
+    pair sum) and the full adjacency (used by the EVB delta diagonals to
+    enumerate every pair touching a changed atom)."""
     N = x.shape[0]
     capacity = min(capacity, N - 1)
+    full_cap = min(2 * capacity, N - 1)
     n_chunks = -(-N // chunk)
     pad_n = n_chunks * chunk
     xp = jnp.pad(x, ((0, pad_n - N), (0, 0)))
@@ -63,20 +69,26 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512):
         d2 = jnp.sum(dr * dr, axis=-1)
         i_idx = i0 + jnp.arange(chunk)[:, None]
         j_idx = jnp.arange(N)[None, :]
-        mask = (d2 < cutoff2) & (j_idx > i_idx) & (i_idx < N)
-        count = jnp.sum(mask, axis=1)
-        # order True entries first (ascending j), then cut to capacity
-        order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True)
-        sel = order[:, :capacity]
-        sel_mask = jnp.take_along_axis(mask, sel, axis=1)
-        idx = jnp.where(sel_mask, sel, -1).astype(jnp.int32)
-        return idx, count
+        fmask = (d2 < cutoff2) & (j_idx != i_idx) & (i_idx < N)
+        hmask = fmask & (j_idx > i_idx)
 
-    idx_chunks, counts = jax.lax.map(one_chunk, jnp.arange(n_chunks))
-    idx = idx_chunks.reshape(pad_n, capacity)[:N]
-    overflow = jnp.any(counts.reshape(-1)[:N] > capacity)
-    return NeighborList(idx=idx, ref_x=x, overflow=overflow,
-                        capacity=capacity)
+        def squeeze(mask, cap):
+            order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True)
+            sel = order[:, :cap]
+            sel_mask = jnp.take_along_axis(mask, sel, axis=1)
+            return jnp.where(sel_mask, sel, -1).astype(jnp.int32)
+
+        return (squeeze(hmask, capacity), squeeze(fmask, full_cap),
+                jnp.sum(hmask, axis=1), jnp.sum(fmask, axis=1))
+
+    hvals, fvals, hcounts, fcounts = jax.lax.map(
+        one_chunk, jnp.arange(n_chunks))
+    idx = hvals.reshape(pad_n, capacity)[:N]
+    full_idx = fvals.reshape(pad_n, full_cap)[:N]
+    overflow = (jnp.any(hcounts.reshape(-1)[:N] > capacity)
+                | jnp.any(fcounts.reshape(-1)[:N] > full_cap))
+    return NeighborList(idx=idx, full_idx=full_idx, ref_x=x,
+                        overflow=overflow, capacity=capacity)
 
 
 def needs_rebuild(nlist: NeighborList, x, box, skin):

@@ -99,3 +99,19 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def scan_probe():
+    """Append-mode probe: time md_scan chunks to separate dispatch overhead
+    from real per-step compute."""
+    import jax
+    import __graft_entry__ as g
+    from reactive_pb_nn_md_tpu.md import integrators
+    system, cbw, cfg, ms = g._build(n_water=215, pme_grid=32,
+                                    precision="fp32")
+    for n in (1, 5, 20):
+        fn = lambda m: integrators.md_scan(m, system, cbw, cfg.delta_t,
+                                           "NVE", n)
+        t = timeit(fn, ms, n=5)
+        print(f"md_scan({n:3d} steps)    : {t:8.2f} ms total, "
+              f"{t / n:7.2f} ms/step")

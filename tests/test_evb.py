@@ -115,7 +115,7 @@ def test_diag_matches_full_recompute(evb_setup):
     system, topo, x, box, pairs, cbw = evb_setup
     dset = enumerate_diabats(x, box, topo, system)
     batch = build_diabat_topologies(topo, dset, system)
-    diag, bds, e_recip = ham.diabat_diagonal_energies(
+    diag, bds, e_recip = ham.diabat_diagonal_energies_full(
         x, box, batch, system, pairs, cbw, topo.charge)
     n = int(dset.n_states)
     for s in range(min(n, 4)):

@@ -28,12 +28,18 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
 
 N_WATER = 215          # + 1 hydronium = 216 molecules, 649 atoms
 PME_GRID = 32
+# state-space cap: the reference's compile-time evb_max_states analog
+# (glob_v.f90:60); bulk water uses ~20 states, the overflow flag guards the
+# cap.  32 keeps the padded batch tight.
+EVB_MAX_STATES = 32
 WARMUP = 3
 STEPS = 40
 CPU_STEPS = 3
 
 
 def run_bench(platform, precision, n_steps, warmup):
+    """Times md_scan chunks; a value fetch per chunk forces real sync (the
+    axon stack's block_until_ready is async-leaky)."""
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -41,26 +47,33 @@ def run_bench(platform, precision, n_steps, warmup):
         jax.config.update("jax_enable_x64", True)
 
     import __graft_entry__ as g
+    g._enable_compile_cache()
     from reactive_pb_nn_md_tpu.md import integrators
 
     system, cbw, cfg, ms = g._build(n_water=N_WATER, pme_grid=PME_GRID,
-                                    precision=precision)
+                                    precision=precision,
+                                    evb_max_states=EVB_MAX_STATES)
+    chunk = max(1, min(n_steps, 20))
 
-    def step_fn(ms):
-        return integrators.md_step.__wrapped__(ms, system, cbw,
-                                               cfg.delta_t, "NVE")
+    def scan(ms):
+        return integrators.md_scan(ms, system, cbw, cfg.delta_t, "NVE",
+                                   chunk)
 
-    step = jax.jit(step_fn)
-    for _ in range(warmup):
-        ms = step(ms)
-    ms = jax.block_until_ready(ms)
+    for _ in range(max(1, warmup // chunk + 1)):
+        ms, diag = scan(ms)
+    float(diag.potential[-1])
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        ms = step(ms)
-    ms = jax.block_until_ready(ms)
+    done = 0
+    while done < n_steps:
+        ms, diag = scan(ms)
+        done += chunk
+    pot = float(diag.potential[-1])
     dt = time.perf_counter() - t0
-    assert bool(jax.numpy.isfinite(ms.potential)), "non-finite potential"
-    return n_steps / dt, system, ms
+    import math
+    assert math.isfinite(pot), "non-finite potential"
+    assert not bool(diag.nbr_overflow.any()), "neighbor overflow"
+    ms = ms.replace(n_states=diag.n_states[-1])
+    return done / dt, system, ms
 
 
 def main():

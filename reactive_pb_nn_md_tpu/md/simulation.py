@@ -181,6 +181,18 @@ class Simulation:
         self.log_f.write(line)
         self.log_f.flush()
 
+    def dump_forces(self, path, step):
+        """Per-atom force dump (print_forces analog,
+        general_routines.f90:950-991)."""
+        f = np.asarray(self.ms.force)
+        names = self._atom_names_ordered(self.ms.topo)
+        with open(path, "a") as fh:
+            fh.write(f"step {step}\n")
+            for i, nm in enumerate(names):
+                fh.write(f"{i + 1:6d} {nm:<5s} "
+                         f"{f[i, 0]:14.6f} {f[i, 1]:14.6f} "
+                         f"{f[i, 2]:14.6f}\n")
+
     def _checkpoint(self, step):
         topo = self.ms.topo
         np.savez(self.files["chk"],

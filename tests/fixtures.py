@@ -142,6 +142,8 @@ n_step             {n_step}
 n_output           100
 n_exclusions       2
 temperature        300.0
+pressure           1.0
+barofreq           3
 delta_t            0.0005
 real_space_cutoff  {cutoff}
 verlet_cutoff      {verlet_cutoff}

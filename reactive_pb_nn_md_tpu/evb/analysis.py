@@ -86,6 +86,47 @@ def diabat_report(dset, eigenvector, n_states):
     return rows
 
 
+def zundel_diagnostics(x, box, topo_d, system, donor_mol, acceptor_mol):
+    """Geometric factor A and the donor/acceptor coordinates for one diabat
+    (the debug=2 A-file content, ms_evb.f90:1079-1081 + write_geometry).
+
+    topo_d must be the diabat's topology (acceptor protonated)."""
+    import numpy as np
+    from ..models import coupling as cpl
+    mt = system.mt
+    d = int(donor_mol)
+    a = int(acceptor_mol)
+    d_mtype = int(topo_d.mol_mtype[d])
+    a_mtype = int(topo_d.mol_mtype[a])
+    d_heavy = int(topo_d.mol_atoms[d, max(int(mt.heavy_slot[d_mtype]), 0)])
+    a_heavy = int(topo_d.mol_atoms[a, max(int(mt.heavy_slot[a_mtype]), 0)])
+    proton = int(topo_d.mol_atoms[a, int(topo_d.mol_natom[a]) - 1])
+
+    r_o1 = x[d_heavy]
+    r_o2 = r_o1 + pbc.min_image(x[a_heavy] - r_o1, box)
+    r_h = r_o1 + pbc.min_image(x[proton] - r_o1, box)
+    q_vec = (r_o1 + r_o2) / 2.0 - r_h
+    r_oo = r_o1 - r_o2
+
+    t1 = int(topo_d.atom_type[d_heavy])
+    t2 = int(topo_d.atom_type[a_heavy])
+    t3 = int(topo_d.atom_type[proton])
+    func = system.evb.cpl_func[t1, t2, t3]
+    params = system.evb.cpl_params[t1, t2, t3]
+    a_fac = float(cpl.geometric_factor(func, params, q_vec, r_oo))
+
+    names = system.ff.atype_names
+
+    def block(mol):
+        atoms = [int(v) for v in np.asarray(topo_d.mol_atoms[mol]) if v >= 0]
+        return ([names[int(topo_d.atom_type[g])] for g in atoms],
+                np.asarray(x)[atoms])
+
+    dn, dx = block(d)
+    an, ax = block(a)
+    return a_fac, dn, dx, an, ax
+
+
 def format_zundel_geometry(a_factor, donor_names, donor_xyz,
                            acceptor_names, acceptor_xyz):
     """debug=2 A-file block (write_geometry, ms_evb.f90:3828-3848)."""

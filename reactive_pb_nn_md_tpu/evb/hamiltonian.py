@@ -68,46 +68,14 @@ def diabat_diagonal_energies_full(x, box, batch: DiabatBatch, system: System,
     return diag, bd0, e_recip
 
 
-def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
-                             pairs, cbw, base_charge, topo0, full_idx):
-    """Delta formulation of the diagonals (the TPU analog of the
-    reference's O(N) incremental diabat updates, ms_evb.f90:1421-1559):
-
-        H_ii = E_0(no recip) + dE_i + E_recip,i + E_rep,i + E_ref,i
-
-    where dE_i touches only pairs with an endpoint in the hop chain's
-    molecules.  Positions are identical across diabats, so every pair
-    between two unchanged molecules cancels exactly."""
-    from ..utils.constants import CONV_E2A_KJMOL
-    from ..utils.constants import SQRT_PI
-    S = system.evb_max_states
-    N = system.n_atoms
-    C2 = batch.changed_atoms.shape[1]
-    Kf = full_idx.shape[1]
-
-    bd0 = total_mod.energy_no_recip(x, box, topo0, system, pairs)
-
+def _chain_mol_deltas(x, box, batch: DiabatBatch, system: System,
+                      base_charge, topo0):
+    """Per-state deltas of the cheap molecule-local terms: intra nonbonded,
+    bonded, Ewald self -- evaluated only for the hop-chain molecules."""
+    from ..utils.constants import CONV_E2A_KJMOL, SQRT_PI
     dset = batch.dset
 
-    def delta_one(topo_d, changed, cmask, hop_log_s):
-        csafe = jnp.maximum(changed, 0)
-        is_changed = jnp.zeros((N,), jnp.int32).at[csafe].max(
-            cmask.astype(jnp.int32))
-        rows = full_idx[csafe]                             # (C, Kf)
-        gj = jnp.maximum(rows, 0)
-        pm = cmask[:, None] & (rows >= 0)
-        gi = jnp.broadcast_to(csafe[:, None], (C2, Kf))
-        both = pm & (is_changed[gj] > 0)
-        w = jnp.where(both, 0.5, 1.0)
-        gi_f, gj_f = gi.reshape(-1), gj.reshape(-1)
-        pm_f, w_f = pm.reshape(-1), w.reshape(-1)
-
-        e_el_d, e_vdw_d = total_mod.realspace_pairs(
-            x, box, topo_d, system, gi_f, gj_f, pm_f, w_f)
-        e_el_0, e_vdw_0 = total_mod.realspace_pairs(
-            x, box, topo0, system, gi_f, gj_f, pm_f, w_f)
-
-        # hop-chain molecules, deduplicated (consecutive hops share one)
+    def one(topo_d, changed, cmask, hop_log_s):
         mols = jnp.concatenate([hop_log_s[:, 0], hop_log_s[:, 3]])
         mvalid = mols >= 0
         eq = mols[:, None] == mols[None, :]
@@ -122,25 +90,192 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
                                                mols, mvalid)
         b_0 = total_mod.bonded.bonded_energies(x, box, topo0, system,
                                                mols, mvalid)
-
+        csafe = jnp.maximum(changed, 0)
         q_d = topo_d.charge[csafe]
         q_0 = base_charge[csafe]
         dself = -system.alpha_sqrt / SQRT_PI * CONV_E2A_KJMOL * jnp.sum(
             jnp.where(cmask, q_d * q_d - q_0 * q_0, 0.0))
-
         e_rep = repulsion.ms_evb_repulsion(x, box, topo_d, system)
         e_ref = repulsion.reference_energy(topo_d, system)
+        return ((ie_d - ie_0) + (iv_d - iv_0) + sum(b_d) - sum(b_0)
+                + dself), e_rep + e_ref
 
-        delta = ((e_el_d - e_el_0) + (e_vdw_d - e_vdw_0)
-                 + (ie_d - ie_0) + (iv_d - iv_0)
-                 + sum(b_d) - sum(b_0) + dself)
-        return delta, e_rep + e_ref
+    return jax.vmap(one)(batch.topo, batch.changed_atoms,
+                         batch.changed_mask, dset.hop_log)
 
-    deltas, extra = jax.vmap(delta_one)(
-        batch.topo, batch.changed_atoms, batch.changed_mask, dset.hop_log)
+
+def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
+                             pairs, cbw, base_charge, topo0, full_idx):
+    """Field decomposition of the diagonals.
+
+    The real-space delta of diabat i against the principle topology only
+    involves atoms of the changed-molecule superset U (every molecule in
+    any hop chain, |U| <= S molecules).  For a pair (u in U, j outside U),
+    j's charge/type/molecule are state-independent AND the pair stays
+    inter-molecular in every state (u's molecule membership only moves
+    within U), so
+
+        dE_el,i  = sum_u (q_i[u] - q_0[u]) * Phi_el[u],
+        Phi_el[u] = sum_{j not in U} erfc-kernel(r_uj) q_0[j]
+
+    with the state-independent potential Phi computed ONCE; the vdW analog
+    uses per-atom type-option potentials Phi_vdw[u, o] (an atom can only
+    take the few types in evb.type_options).  Pairs inside U x U are
+    handled by dense per-option kernels contracted per state on the MXU.
+    No per-state gathers remain -- the profiled ~20 ms/step of serialized
+    TPU gathers becomes a handful of small matmuls.
+
+    This is the batched analog of the reference's O(N) incremental diabat
+    updates (ms_evb.f90:1421-1559).  Verified equal to the full recompute
+    (values and gradients) by tests/test_delta_diag.py."""
+    from ..models import nonbonded
+    from ..ops.lookup import pair_lookup
+    from ..utils import pbc
+
+    dset = batch.dset
+    S = system.evb_max_states
+    M = system.n_mole
+    A = system.max_atoms_per_mol
+    N = system.n_atoms
+    Kf = full_idx.shape[1]
+    f = x.dtype
+
+    bd0 = total_mod.energy_no_recip(x, box, topo0, system, pairs)
+
+    # ---------------- changed-molecule superset U (indices constant wrt x)
+    mols_all = jnp.concatenate(
+        [dset.hop_log[:, :, 0], dset.hop_log[:, :, 3]], axis=1).reshape(-1)
+    in_U = jnp.zeros((M,), jnp.int32).at[jnp.maximum(mols_all, 0)].max(
+        (mols_all >= 0).astype(jnp.int32))
+    UM = min(S, M)
+    order_m = jnp.argsort(-in_U, stable=True)[:UM].astype(jnp.int32)
+    umol_ok = in_U[order_m] > 0
+    ua_mat = topo0.mol_atoms[order_m]                      # (UM, A)
+    ua_mask = (umol_ok[:, None] & (ua_mat >= 0)).reshape(-1)
+    ua = jnp.maximum(ua_mat, 0).reshape(-1)                # (U,)
+    U = ua.shape[0]
+
+    pos_pad = jnp.full((N + 1,), -1, jnp.int32)
+    pos_in_U = pos_pad.at[jnp.where(ua_mask, ua, N)].set(
+        jnp.arange(U, dtype=jnp.int32))[:N]
+
+    # ---------------- state-independent pair data over U's neighbor rows
+    rows = full_idx[ua]                                    # (U, Kf)
+    rmask = ua_mask[:, None] & (rows >= 0)
+    j = jnp.maximum(rows, 0)
+    dr = pbc.min_image(x[ua][:, None, :] - x[j], box)
+    r2 = jnp.sum(dr * dr, -1)
+    within = rmask & (r2 < system.real_space_cutoff ** 2)
+    r2s = jnp.where(within, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    jU = pos_in_U[j]                                       # (U, Kf)
+    out_p = within & (jU < 0)
+    uu_p = within & (jU >= 0)
+    inter0 = topo0.atom_mol[ua][:, None] != topo0.atom_mol[j]
+
+    ke = nonbonded.ewald_real(jnp.ones_like(r), r, system.alpha_sqrt)
+    phi_el = jnp.sum(jnp.where(out_p & inter0, ke * base_charge[j], 0.0),
+                     axis=1)                               # (U,)
+
+    # vdW out-field per type option
+    opts = system.evb.type_options[topo0.atom_type[ua]]    # (U, O)
+    O = opts.shape[1]
+    t0j_f = topo0.atom_type[j].reshape(-1)
+    r_f, r2_f = r.reshape(-1), r2s.reshape(-1)
+    no14 = jnp.zeros((U * Kf,), bool)
+
+    def vdw_flat(tu_col):
+        tu = jnp.broadcast_to(tu_col[:, None], (U, Kf)).reshape(-1)
+        vt = pair_lookup(system.ff.vdw_type, tu, t0j_f)
+        vp = pair_lookup(system.ff.vdw_params, tu, t0j_f)
+        return nonbonded.vdw_pair_energy(
+            vt, vp, vp, no14, r_f, r2_f,
+            has_sapt=system.has_sapt).reshape(U, Kf)
+
+    phi_vdw = jnp.stack(
+        [jnp.sum(jnp.where(out_p & inter0 & (opts[:, o] >= 0)[:, None],
+                           vdw_flat(jnp.maximum(opts[:, o], 0)), 0.0),
+                 axis=1)
+         for o in range(O)], axis=1)                       # (U, O)
+
+    # U-U: per-option-pair vdW kernels + partner one-hot (constant indices)
+    jU_safe = jnp.maximum(jU, 0).reshape(-1)
+    ohJ = (jU_safe[:, None]
+           == jnp.arange(U, dtype=jnp.int32)[None, :]).astype(f)  # (U*Kf, U)
+    optsJ = (ohJ @ opts.astype(f)).reshape(U, Kf, O)       # partner options
+
+    e_uu = []                                              # (O,O) kernels
+    for a in range(O):
+        ta = jnp.maximum(opts[:, a], 0)
+        row = []
+        for b in range(O):
+            tb = jnp.round(optsJ[:, :, b]).astype(jnp.int32).reshape(-1)
+            tb = jnp.maximum(tb, 0)
+            tu = jnp.broadcast_to(ta[:, None], (U, Kf)).reshape(-1)
+            vt = pair_lookup(system.ff.vdw_type, tu, tb)
+            vp = pair_lookup(system.ff.vdw_params, tu, tb)
+            ev = nonbonded.vdw_pair_energy(
+                vt, vp, vp, no14, r_f, r2_f,
+                has_sapt=system.has_sapt).reshape(U, Kf)
+            row.append(jnp.where(uu_p, ev, 0.0))
+        e_uu.append(jnp.stack(row))
+    e_uu = jnp.stack(e_uu)                                 # (O, O, U, Kf)
+    ke_uu = jnp.where(uu_p, ke, 0.0)
+
+    # ---------------- per-state values on U (tiny vmapped gathers)
+    def u_vals(topo_d):
+        return (topo_d.charge[ua], topo_d.atom_type[ua], topo_d.atom_mol[ua])
+
+    qU, tU, mU = jax.vmap(u_vals)(batch.topo)              # (S, U)
+    q0U = base_charge[ua]
+    m0U = topo0.atom_mol[ua]
+    selU = jnp.argmax(tU[..., None] == opts[None], axis=-1)   # (S, U)
+    oh_sel = jax.nn.one_hot(selU, O, dtype=f)              # (S, U, O)
+
+    # out-field deltas
+    masked_q = jnp.where(ua_mask[None], qU - q0U[None], 0.0)
+    d_el_out = masked_q @ phi_el                           # (S,)
+    d_vdw_out = jnp.einsum("suo,uo->s", oh_sel, phi_vdw) \
+        - jnp.sum(phi_vdw[:, 0])
+
+    # U-U per-state values at the partner via one-hot matmuls
+    qJ = (ohJ @ qU.T).reshape(U, Kf, S)
+    mJ = (ohJ @ mU.astype(f).T).reshape(U, Kf, S)
+    sJ = (ohJ @ selU.astype(f).T).reshape(U, Kf, S)
+    m0J = (ohJ @ m0U.astype(f)).reshape(U, Kf)
+    q0J = (ohJ @ q0U).reshape(U, Kf)
+    s0J = jnp.zeros((U, Kf), f)                            # sel_0 = 0
+
+    inter_d = mU.T[:, None, :] != mJ                       # (U, Kf, S)
+    inter_0uu = (m0U[:, None] != m0J)
+    e_el_uu_d = 0.5 * jnp.einsum(
+        "uk,uks->s", ke_uu, jnp.where(inter_d, qU.T[:, None, :] * qJ, 0.0))
+    e_el_uu_0 = 0.5 * jnp.sum(ke_uu * jnp.where(inter_0uu, q0U[:, None]
+                                                * q0J, 0.0))
+
+    e_vdw_uu_d = jnp.zeros((S,), f)
+    e_vdw_uu_0 = jnp.asarray(0.0, f)
+    selU_t = selU.T                                        # (U, S)
+    for a in range(O):
+        for b in range(O):
+            sel_ab = ((selU_t[:, None, :] == a) & (jnp.round(sJ) == b)
+                      & inter_d)
+            e_vdw_uu_d = e_vdw_uu_d + 0.5 * jnp.einsum(
+                "uk,uks->s", e_uu[a, b], sel_ab.astype(f))
+            if a == 0 and b == 0:
+                e_vdw_uu_0 = 0.5 * jnp.sum(
+                    e_uu[0, 0] * inter_0uu.astype(f))
+
+    deltas_rs = (d_el_out + d_vdw_out
+                 + (e_el_uu_d - e_el_uu_0)
+                 + (e_vdw_uu_d - e_vdw_uu_0))
+
+    # ---------------- molecule-local deltas + EVB repulsion/reference
+    deltas_mol, extra = _chain_mol_deltas(x, box, batch, system,
+                                          base_charge, topo0)
 
     e_recip = _recip_batched(x, box, batch, system, cbw, base_charge)
-    diag = bd0.total + deltas + extra + e_recip
+    diag = bd0.total + deltas_rs + deltas_mol + extra + e_recip
     return diag, bd0, e_recip
 
 

@@ -87,6 +87,12 @@ class EvbParams:
     pa_params: jnp.ndarray               # (T,T,5)  C c d0 rs rc
     cpl_func: jnp.ndarray                # (T,T,T) int32, 0 = none
     cpl_params: jnp.ndarray              # (T,T,T,10)
+    type_options: jnp.ndarray = None     # (T,O) int32: every type an atom of
+                                         # base type t can take in any diabat
+                                         # (identity, conjugate, proton /
+                                         # heavy overrides); -1 padded.
+                                         # Drives the field-decomposition
+                                         # delta diagonals.
     # PB-NN coupling (function type 3): MLP weights, shared across triples
     nn_params: Optional[dict] = None
 
@@ -369,7 +375,38 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
                             f"acidic protons must be last in molecule "
                             f"{mtype_names[k]}")
 
+        # per-type option sets: every type an atom can take in a diabat
+        # (conservative closure of the conjugation/override algebra)
+        opt_sets = [[t] for t in range(T)]
+        proton_types = sorted({int(proton_atype[a]) for a in range(MT)
+                               if is_acid[a] and proton_atype[a] >= 0})
+        for t in range(T):
+            def _add(v):
+                if v >= 0 and v not in opt_sets[t]:
+                    opt_sets[t].append(int(v))
+            _add(conjugate_atype[t])
+            _add(conjugate_atype[conjugate_atype[t]])
+            # reactive-proton types can become any acid's proton type
+            is_rp = any(reactive_protons[m, i] == 1 and atype[m, i] == t
+                        for m in range(MT) for i in range(natom[m]))
+            if is_rp:
+                for p in proton_types:
+                    _add(p)
+                    _add(conjugate_atype[p])
+            # reactive-base atoms can take the protonated heavy type
+            for m in range(MT):
+                for i in range(natom[m]):
+                    if reactive_bases[m, i] == 1 and atype[m, i] == t:
+                        acid = conjugate_mtype[m] if not is_acid[m] else m
+                        _add(heavy_atype[acid])
+                        _add(conjugate_atype[heavy_atype[acid]])
+        O = max(len(s) for s in opt_sets)
+        type_options = np.full((T, O), -1, dtype=np.int32)
+        for t, s in enumerate(opt_sets):
+            type_options[t, :len(s)] = s
+
         evb = EvbParams(
+            type_options=jnp.asarray(type_options),
             conjugate_atype=jnp.asarray(conjugate_atype, jnp.int32),
             exchange_q_atype=jnp.asarray(exchange_q_atype, f),
             exchange_q_proton=jnp.asarray(exchange_q_proton, f),

@@ -17,6 +17,12 @@ _POLICY = {"float": jnp.float32}
 
 
 def set_precision(precision: str):
+    # TPU matmuls default to bf16 passes; the engine's coordinate
+    # transforms (x @ recip_box in every minimum image / PME scaling) and
+    # the one-hot table lookups must run at full fp32 -- bf16 there costs
+    # ~1e-2 Angstrom coordinate error and ~0.4% force-field parameters
+    # (measured: 5% PME force error on the v5e before this was set).
+    jax.config.update("jax_default_matmul_precision", "float32")
     if precision == "fp64":
         jax.config.update("jax_enable_x64", True)
         _POLICY["float"] = jnp.float64

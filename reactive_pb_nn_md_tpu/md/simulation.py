@@ -149,6 +149,31 @@ class Simulation:
             np.asarray(self.ms.state.box)))
         self.traj_f.flush()
 
+    def _log_header(self):
+        """Run-settings summary (print_simulation_info analog,
+        general_routines.f90:793-868)."""
+        cfg = self.cfg
+        s = self.system
+        import jax
+        lines = [
+            "reactive_pb_nn_md_tpu simulation",
+            f" ensemble {cfg.ensemble}  steps {cfg.n_step}  "
+            f"dt(ps) {cfg.delta_t}  T(K) {cfg.temperature}",
+            f" atoms {s.n_atoms}  molecules {s.n_mole}  "
+            f"molecule types {len(s.mt.mtype_names)}",
+            f" real_space_cutoff {s.real_space_cutoff}  "
+            f"verlet_cutoff {s.verlet_cutoff}  alpha_sqrt {s.alpha_sqrt}",
+            f" pme_grid {s.pme_grid}^3  spline_order {s.spline_order}  "
+            f"n_exclusions {s.n_exclusions}",
+            f" ms_evb {s.ms_evb}  evb_max_states {s.evb_max_states}  "
+            f"evb_max_chain {s.evb_max_chain}",
+            f" lj_comb_rule {cfg.lj_comb_rule}  precision {cfg.precision}  "
+            f"device {jax.devices()[0]}",
+            "",
+        ]
+        self.log_f.write("\n".join(lines))
+        self.log_f.flush()
+
     def _log_step(self, step):
         ms = self.ms
         t_ps = step * self.cfg.delta_t
@@ -241,6 +266,7 @@ class Simulation:
         self._open_outputs()
 
         if not self.restart:
+            self._log_header()
             self._log_step(self.start_step)
             self._write_frame(self.start_step)
 

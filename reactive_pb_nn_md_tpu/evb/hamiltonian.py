@@ -233,7 +233,7 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     oh_sel = jax.nn.one_hot(selU, O, dtype=f)              # (S, U, O)
 
     # out-field deltas
-    masked_q = jnp.where(ua_mask[None], qU - q0U[None], 0.0)
+    masked_q = jnp.where(ua_mask[None], qU - q0U[None], 0.0)  # dq (S, U)
     d_el_out = masked_q @ phi_el                           # (S,)
     d_vdw_out = jnp.einsum("suo,uo->s", oh_sel, phi_vdw) \
         - jnp.sum(phi_vdw[:, 0])
@@ -274,7 +274,20 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     deltas_mol, extra = _chain_mol_deltas(x, box, batch, system,
                                           base_charge, topo0)
 
-    e_recip = _recip_batched(x, box, batch, system, cbw, base_charge)
+    # ---------------- reciprocal space as a quadratic form in dq: ONE base
+    # FFT + two MXU contractions replace the S batched delta-FFTs
+    # (pme.recip_delta_quadratic); exact by linearity of the spreading
+    Q0 = pme.charge_grid(x, base_charge, box, system.pme_grid,
+                         system.spline_order)
+    F0 = jnp.fft.rfftn(Q0)
+    from ..utils.constants import CONV_E2A_KJMOL
+    e0 = 0.5 * CONV_E2A_KJMOL * jnp.sum(
+        cbw * (F0.real ** 2 + F0.imag ** 2))
+    P, Mq = pme.recip_delta_quadratic(x[ua], ua_mask, box, system.pme_grid,
+                                      system.spline_order, cbw, F0)
+    e_recip = (e0 + masked_q @ P
+               + 0.5 * jnp.einsum("su,uv,sv->s", masked_q, Mq, masked_q))
+
     diag = bd0.total + deltas_rs + deltas_mol + extra + e_recip
     return diag, bd0, e_recip
 
@@ -353,12 +366,17 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
             jnp.eye(N, dtype=bool), -1,
             jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (N, N)))
 
+    from ..ops import ground_state as gs
+
     def etot(xx):
         H, bds, _ = assemble_hamiltonian(xx, box, batch, system, pairs, cbw,
                                          base_charge, topo, full_idx)
-        w, v = jnp.linalg.eigh(jax.lax.stop_gradient(H))
-        ground = jnp.argmin(w)
-        c = jax.lax.stop_gradient(v[:, ground])
+        Hs = jax.lax.stop_gradient(H)
+        if system.eigensolver == "iterative":
+            _, c = gs.ground_state(Hs)
+        else:
+            _, c = gs.ground_state_eigh(Hs)
+        c = jax.lax.stop_gradient(c)
         e = c @ H @ c
         return e, (H, c, bds)
 

@@ -50,6 +50,12 @@ class SimConfig:
     evb_max_chain: int = 3
     evb_max_neighbors: int = 10
     seed: int = 0
+    # "eigh" = jnp.linalg.eigh (measured FASTER on TPU for the padded
+    # 32x32: 12.8 vs 16.8 ms/step -- QDWH on a tiny matrix is cheap, LU
+    # factorizations are not); "iterative" = shift-and-invert Krylov +
+    # Rayleigh-Ritz ground state (ops/ground_state.py), kept as a tested
+    # alternative for much larger state caps
+    eigensolver: str = "eigh"
 
     def validate(self):
         required = ["ensemble", "n_step", "n_output", "temperature",
@@ -65,6 +71,8 @@ class SimConfig:
             self.initial_temp = self.temperature
         if self.spline_order not in (4, 6):
             raise ValueError("spline_order must be 4 or 6")
+        if self.eigensolver not in ("eigh", "iterative"):
+            raise ValueError("eigensolver must be 'eigh' or 'iterative'")
         return self
 
 
@@ -103,6 +111,8 @@ def read_sim_params(path) -> SimConfig:
                     val.lower() in ("yes", "true", "1"))
         elif key == "precision":
             cfg.precision = val
+        elif key == "eigensolver":
+            cfg.eigensolver = val
         elif key in _INT_KEYS:
             setattr(cfg, key, int(round(float(val))))
         elif key in _FLOAT_KEYS:

@@ -56,11 +56,11 @@ class MCBarostat:
 
         new_cbw = pme.cb_half(new_box, system.pme_grid, system.spline_order,
                               system.alpha_sqrt, dtype=x.dtype)
-        nlist = neighbors.build_neighbor_list(
-            x_new, new_box, system.verlet_cutoff, ms.nlist.capacity)
+        nlist = neighbors.rebuild_like(ms.nlist, x_new, new_box,
+                                       system.verlet_cutoff)
 
         state_new = ms.state.replace(x=x_new, box=new_box)
-        pot, bd, force, new_topo, n_states, eigvec, hopped = \
+        (pot, bd, force, new_topo, n_states, eigvec, hopped, evb_over) = \
             integrators.evaluate_forces(x_new, new_box, ms.topo, system,
                                         nlist, new_cbw)
 
@@ -78,7 +78,7 @@ class MCBarostat:
             ms = ms.replace(state=state_new, topo=new_topo, nlist=nlist,
                             force=force, potential=pot, breakdown=bd,
                             n_states=n_states, eigenvector=eigvec,
-                            hopped=hopped)
+                            hopped=hopped, evb_overflow=evb_over)
             cbw = new_cbw
 
         if self.n_trials > 10:

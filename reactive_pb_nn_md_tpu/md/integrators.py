@@ -41,6 +41,9 @@ class MDState:
     hopped: jnp.ndarray           # () bool: hydronium changed this step
     force_overflow: jnp.ndarray   # () bool: |F| > 1e4 abort condition
     nbr_overflow: jnp.ndarray
+    # () bool: diabat enumeration hit evb_max_states (truncated state set,
+    # the analog of the reference's hard stop at ms_evb.f90:3107-3123)
+    evb_overflow: jnp.ndarray
 
 
 def wrap_molecules(x, box, topo: Topology, mass):
@@ -80,11 +83,12 @@ def evaluate_forces(x, box, topo, system: System, nlist, cbw):
             lambda a: a[res.principle], batch.topo)
         hopped = res.new_hydronium != topo.hydronium_mol
         return (res.energy, res.breakdown, res.force, new_topo,
-                res.n_states, res.eigenvector, hopped)
+                res.n_states, res.eigenvector, hopped, res.overflow)
     bd, force = total_mod.total_energy_and_forces(x, box, topo, system,
                                                   pairs, cbw)
     return (bd.total, bd, force, topo, jnp.asarray(1, jnp.int32),
-            jnp.zeros((S,), x.dtype), jnp.asarray(False))
+            jnp.zeros((S,), x.dtype), jnp.asarray(False),
+            jnp.asarray(False))
 
 
 @functools.partial(jax.jit, static_argnames=("ensemble",))
@@ -112,12 +116,12 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
     rebuild = neighbors.needs_rebuild(ms.nlist, x, state.box, skin)
     nlist = jax.lax.cond(
         rebuild,
-        lambda: neighbors.build_neighbor_list(
-            x, state.box, system.verlet_cutoff, ms.nlist.capacity),
+        lambda: neighbors.rebuild_like(ms.nlist, x, state.box,
+                                       system.verlet_cutoff),
         lambda: ms.nlist)
 
-    pot, bd, force, new_topo, n_states, eigvec, hopped = evaluate_forces(
-        x, state.box, topo, system, nlist, cbw)
+    (pot, bd, force, new_topo, n_states, eigvec, hopped,
+     evb_over) = evaluate_forces(x, state.box, topo, system, nlist, cbw)
 
     # second half kick with new forces
     v = jnp.where(mobile, kick(v, force, k2), v)
@@ -130,7 +134,7 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
                    potential=pot, breakdown=bd, kinetic=ke,
                    n_states=n_states, eigenvector=eigvec, hopped=hopped,
                    force_overflow=force_overflow,
-                   nbr_overflow=nlist.overflow)
+                   nbr_overflow=nlist.overflow, evb_overflow=evb_over)
 
 
 @struct.dataclass
@@ -144,6 +148,7 @@ class ChunkDiagnostics:
     max_ci2: jnp.ndarray
     force_overflow: jnp.ndarray
     nbr_overflow: jnp.ndarray
+    evb_overflow: jnp.ndarray
 
 
 @functools.partial(jax.jit, static_argnames=("ensemble", "n_steps"))
@@ -165,21 +170,26 @@ def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
             hydronium=ms.topo.hydronium_mol,
             max_ci2=jnp.max(ms.eigenvector ** 2),
             force_overflow=ms.force_overflow,
-            nbr_overflow=ms.nbr_overflow)
+            nbr_overflow=ms.nbr_overflow,
+            evb_overflow=ms.evb_overflow)
         return ms, diag
 
     return jax.lax.scan(body, ms, None, length=n_steps)
 
 
 def initial_md_state(state: State, topo: Topology, system: System, cbw,
-                     capacity: int) -> MDState:
-    nlist = neighbors.build_neighbor_list(state.x, state.box,
-                                          system.verlet_cutoff, capacity)
-    pot, bd, force, new_topo, n_states, eigvec, hopped = evaluate_forces(
-        state.x, state.box, topo, system, nlist, cbw)
+                     capacity: int, cells=None) -> MDState:
+    if cells is None:
+        cells = neighbors.suggest_cells(system.n_atoms, state.box,
+                                        system.verlet_cutoff)
+    nlist = neighbors.build_neighbors(state.x, state.box,
+                                      system.verlet_cutoff, capacity, cells)
+    (pot, bd, force, new_topo, n_states, eigvec, hopped,
+     evb_over) = evaluate_forces(state.x, state.box, topo, system, nlist,
+                                 cbw)
     ke = velocities.kinetic_energy(state.v, system.mass)
     return MDState(state=state, topo=new_topo, nlist=nlist, force=force,
                    potential=pot, breakdown=bd, kinetic=ke,
                    n_states=n_states, eigenvector=eigvec, hopped=hopped,
                    force_overflow=jnp.asarray(False),
-                   nbr_overflow=nlist.overflow)
+                   nbr_overflow=nlist.overflow, evb_overflow=evb_over)

@@ -96,10 +96,14 @@ class Simulation:
         vol = float(jnp.abs(jnp.linalg.det(np.asarray(state.box))))
         self.capacity = neighbors.suggest_capacity(
             self.system.n_atoms, vol, self.system.verlet_cutoff)
+        self.cells = neighbors.suggest_cells(
+            self.system.n_atoms, np.asarray(state.box),
+            self.system.verlet_cutoff)
         self.ms = integrators.initial_md_state(
-            state, topo, self.system, self.cbw, self.capacity)
+            state, topo, self.system, self.cbw, self.capacity, self.cells)
         self._retry_capacity_if_overflow()
 
+        self._evb_overflow_warned = False
         self.barostat = None
         if self.cfg.ensemble == "NPT":
             self.barostat = MCBarostat(self.cfg.pressure,
@@ -111,9 +115,12 @@ class Simulation:
         while bool(self.ms.nbr_overflow):
             self.capacity = min(int(self.capacity * 1.5) + 8,
                                 self.system.n_atoms - 1)
+            if self.cells:
+                nc1, nc2, nc3, ccap = self.cells
+                self.cells = (nc1, nc2, nc3, int(ccap * 1.5) + 4)
             self.ms = integrators.initial_md_state(
                 self.ms.state, self.ms.topo, self.system, self.cbw,
-                self.capacity)
+                self.capacity, self.cells)
             if self.capacity >= self.system.n_atoms - 1:
                 break
 
@@ -299,6 +306,16 @@ class Simulation:
 
             if np.asarray(diag.nbr_overflow).any():
                 self._retry_capacity_if_overflow()
+            eo = np.asarray(diag.evb_overflow)
+            if eo.any() and not self._evb_overflow_warned:
+                self._evb_overflow_warned = True
+                bad = step + int(np.nonzero(eo)[0][0]) + 1
+                self.log_f.write(
+                    f"step {bad}: diabat enumeration exceeded "
+                    f"evb_max_states={self.system.evb_max_states}; the "
+                    f"state set is truncated (raise evb_max_states in the "
+                    f"simulation parameter file; cf. ms_evb.f90:3107-3123)\n")
+                self.log_f.flush()
             fo = np.asarray(diag.force_overflow)
             if fo.any():
                 bad = step + int(np.nonzero(fo)[0][0]) + 1

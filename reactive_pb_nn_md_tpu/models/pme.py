@@ -45,14 +45,45 @@ def spread_weights(u, K, order):
     return w3.reshape(n, o3), flat.reshape(n, o3)
 
 
-def charge_grid(x, q, box, K, order):
-    """Q grid from all atoms (grid_Q)."""
+_SPREAD_IMPL = "auto"       # "auto" (pallas on TPU fp32) | "xla" | "pallas"
+
+
+def set_spread_impl(impl):
+    """Select the charge-spreading kernel ("auto", "xla", "pallas")."""
+    global _SPREAD_IMPL
+    assert impl in ("auto", "xla", "pallas"), impl
+    _SPREAD_IMPL = impl
+
+
+def _pallas_spread_active(dtype):
+    if _SPREAD_IMPL != "auto":
+        return _SPREAD_IMPL == "pallas"
+    import jax as _jax
+    return (_jax.default_backend() == "tpu" and dtype == jnp.float32)
+
+
+def charge_grid_xla(x, q, box, K, order):
+    """Q grid from all atoms (grid_Q) -- XLA scatter-add path."""
     u = pbc.scaled_grid_coords(x, box, K)
     w, flat = spread_weights(u, K, order)
     vals = (q[:, None] * w).reshape(-1)
     Q = jnp.zeros((K * K * K,), dtype=x.dtype)
     Q = Q.at[flat.reshape(-1)].add(vals)
     return Q.reshape(K, K, K)
+
+
+def charge_grid(x, q, box, K, order):
+    """Q grid from all atoms (grid_Q).
+
+    Dispatches to the Pallas VMEM-resident spread kernel on TPU fp32
+    (ops/pallas/pme_spread.py; measured 2.7x faster fwd+bwd at K=32 and 9x
+    at K=64 vs the XLA scatter-add, scripts/time_pme_spread.py), else the
+    XLA path.  Note the Pallas VJP returns a zero box cotangent (no virial
+    through the grid; nothing differentiates wrt the box)."""
+    if _pallas_spread_active(x.dtype):
+        from ..ops.pallas.pme_spread import charge_grid_pallas
+        return charge_grid_pallas(x, q, box, K, order)
+    return charge_grid_xla(x, q, box, K, order)
 
 
 def delta_charge_grid(x, dq, atom_idx, mask, box, K, order):
@@ -118,3 +149,70 @@ def recip_energy_batched(Qs, cbw):
 def ewald_self(q, alpha):
     """-(alpha/sqrt(pi)) sum q_i^2 (update_Ewald_self, pme.f90:608-625)."""
     return -alpha / SQRT_PI * jnp.sum(q * q) * CONV_E2A_KJMOL
+
+
+# ---------------------------------------------------------------------------
+# per-diabat reciprocal energies WITHOUT per-diabat FFTs
+# ---------------------------------------------------------------------------
+
+def structure_factors(x_u, box, K, order):
+    """Exact rfft-half-spectrum structure factors of each atom's B-spline
+    spread: Phi_u(m) = prod_axis sum_j w_uj exp(-2 pi i m g_uj / K).
+
+    This is the analytic DFT of what grid_Q scatters for one unit charge at
+    x_u (the separability follows from the tensor-product spline spread,
+    pme.f90:224-244).  The phase argument is reduced mod K in exact integer
+    arithmetic so fp32 sincos stays fully accurate.
+
+    Returns (U, K, K, K//2+1) complex.
+    """
+    f = x_u.dtype
+    u = pbc.scaled_grid_coords(x_u, box, K)                 # (U, 3)
+    w, nearpt = bspline_weights(u.reshape(-1), order)
+    w = w.reshape(*u.shape, order)                          # (U, 3, order)
+    nearpt = nearpt.reshape(*u.shape).astype(jnp.int32)     # (U, 3)
+    k = jnp.arange(order, dtype=jnp.int32)
+    g = jnp.mod(nearpt[..., None] - k, K)                   # (U, 3, order)
+
+    Kh = K // 2 + 1
+
+    def axis_factor(axis, n_m):
+        m = jnp.arange(n_m, dtype=jnp.int32)
+        # integer phase m*g mod K stays exact; fp32 sincos of [0, 2pi)
+        ph = jnp.mod(m[None, None, :] * g[:, axis, :, None], K)  # (U, o, m)
+        ang = (-2.0 * np.pi / K) * ph.astype(f)
+        e = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        return jnp.einsum("uo,uom->um", w[:, axis, :].astype(f), e)
+
+    A = axis_factor(0, K)                                   # (U, K)
+    B = axis_factor(1, K)
+    C = axis_factor(2, Kh)
+    return A[:, :, None, None] * B[:, None, :, None] * C[:, None, None, :]
+
+
+def recip_delta_quadratic(x_u, u_mask, box, K, order, cbw, F0):
+    """State-independent pieces of the per-diabat reciprocal energy.
+
+    For diabat s with changed-atom charge deltas dq_s (on the fixed atom
+    set x_u), the reciprocal energy is EXACTLY
+
+        E_recip,s = E_recip,0 + dq_s . P + 1/2 dq_s . M . dq_s
+
+    with P_u = conv * sum_m cbw Re(F0* Phi_u)   (base-density potential)
+         M_uv = conv * sum_m cbw Re(Phi_u Phi_v*)  (pair matrix).
+
+    This replaces the reference's per-diabat modify_Q_grid + FFT
+    (ms_evb.f90:1962-2095, pme.f90:275-335) with two MXU contractions and
+    NO per-diabat FFT: the TPU-native end point of the incremental-PME
+    idea.  Verified equal to the batched-FFT path by tests/test_delta_diag.
+
+    F0: rfftn of the base charge grid.  Returns (P (U,), M (U, U)).
+    """
+    phi = structure_factors(x_u, box, K, order)             # (U, K, K, Kh)
+    phi = phi * u_mask.astype(phi.real.dtype)[:, None, None, None]
+    U = phi.shape[0]
+    phw = (phi * cbw).reshape(U, -1)
+    phf = phi.reshape(U, -1)
+    P = CONV_E2A_KJMOL * jnp.real(phw @ jnp.conj(F0).reshape(-1))
+    M = CONV_E2A_KJMOL * jnp.real(phw @ jnp.conj(phf).T)
+    return P, M

@@ -34,6 +34,8 @@ class NeighborList:
     ref_x: jnp.ndarray        # (N, 3) positions at build time
     overflow: jnp.ndarray     # () bool
     capacity: int = struct.field(pytree_node=False, default=0)
+    # cell-list config (static): () = dense build, else (nc1, nc2, nc3, cap)
+    cells: tuple = struct.field(pytree_node=False, default=())
 
 
 def suggest_capacity(n_atoms, volume, cutoff, safety=1.2):
@@ -44,6 +46,40 @@ def suggest_capacity(n_atoms, volume, cutoff, safety=1.2):
     per_atom = 4.0 / 3.0 * math.pi * cutoff ** 3 * n_atoms / volume
     cap = int(math.ceil(per_atom * safety)) + 8
     return max(16, min(cap, n_atoms - 1))
+
+
+def suggest_cells(n_atoms, box, cutoff, safety=1.45, min_atoms=1024):
+    """Host-side cell-grid sizing for the O(N) build path.
+
+    TPU analog of the reference's grid cell list
+    (construct_verlet_list_grid, general_routines.f90:1408-1595): the grid
+    dimensions are fixed for the run (the reference requires 10-99 cells per
+    axis, :1450-1452); here they are compile-time constants of the build
+    kernel.  Returns () when the dense sweep is the better kernel (small
+    systems, or fewer than 3 cells per axis -- a 27-stencil over <3 cells
+    would visit the same cell twice).
+
+    `safety` oversizes the per-cell capacity: NPT moves atoms between cells
+    and density fluctuates; overflow is flagged and the host regrows.
+    """
+    import math
+    import numpy as np
+    if n_atoms < min_atoms:
+        return ()
+    b = np.asarray(box, dtype=np.float64)
+    vol = abs(float(np.linalg.det(b)))
+    # plane-spacing widths: w_i = 1/|recip_i| (general triclinic form)
+    recip = np.linalg.inv(b).T
+    widths = 1.0 / np.linalg.norm(recip, axis=1)
+    nc = [int(w // cutoff) for w in widths]
+    if min(nc) < 3:
+        return ()
+    per_cell = n_atoms / (nc[0] * nc[1] * nc[2])
+    # Poisson occupancy tail: lambda + 4 sqrt(lambda) covers ~1e-5 per cell;
+    # the multiplicative safety dominates at high density (NPT compression)
+    cap = max(4, int(math.ceil(per_cell * safety)),
+              int(math.ceil(per_cell + 4.0 * math.sqrt(per_cell))) + 4)
+    return (nc[0], nc[1], nc[2], cap)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "chunk"))
@@ -89,6 +125,99 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512):
                 | jnp.any(fcounts.reshape(-1)[:N] > full_cap))
     return NeighborList(idx=idx, full_idx=full_idx, ref_x=x,
                         overflow=overflow, capacity=capacity)
+
+
+def _squeeze(mask, cap, idx_val):
+    """Compact True columns of a (R, C) mask into (R, cap) indices, -1 pad."""
+    order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True)
+    sel = order[:, :cap]
+    sel_mask = jnp.take_along_axis(mask, sel, axis=1)
+    vals = jnp.take_along_axis(idx_val, sel, axis=1)
+    return jnp.where(sel_mask, vals, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "cells"))
+def build_neighbor_list_cell(x, box, cutoff, capacity, cells):
+    """O(N) cell-list neighbor build (static grid, fixed cell capacity).
+
+    Replaces the dense O(N^2) sweep for large systems; TPU-shaped version of
+    construct_verlet_list_grid (general_routines.f90:1408-1595):
+
+      * atoms are bucketed into a static (nc1, nc2, nc3) fractional-space
+        grid by one sort (vs the reference's per-cell linked strings);
+      * each atom gathers candidates from its 27-cell stencil
+        ((N, 27*cell_cap) static shape) and distance-filters them;
+      * overflow (cell capacity, row capacity, or a box shrunk below one
+        cutoff per cell under NPT) sets the flag; the host regrows exactly
+        like the dense path's escape hatch.
+    """
+    N = x.shape[0]
+    nc1, nc2, nc3, ccap = cells
+    n_cells = nc1 * nc2 * nc3
+    capacity = min(capacity, N - 1)
+    full_cap = min(2 * capacity, N - 1)
+    cutoff2 = cutoff * cutoff
+    ncv = jnp.array([nc1, nc2, nc3], jnp.int32)
+
+    # box still valid for this grid? (plane spacing per cell >= cutoff)
+    recip = pbc.recip_vectors(box)
+    widths = 1.0 / jnp.sqrt(jnp.sum(recip * recip, axis=1))
+    box_bad = jnp.any(widths / ncv.astype(x.dtype) < cutoff)
+
+    frac = pbc.xyz_to_frac(x, box)
+    frac = frac - jnp.floor(frac)
+    ci = jnp.clip((frac * ncv).astype(jnp.int32), 0, ncv - 1)   # (N, 3)
+    cell_id = (ci[:, 0] * nc2 + ci[:, 1]) * nc3 + ci[:, 2]      # (N,)
+
+    # bucket by one sort; rank-within-cell from run starts
+    order = jnp.argsort(cell_id).astype(jnp.int32)
+    sorted_id = cell_id[order]
+    ar = jnp.arange(N, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.array([True]), sorted_id[1:] != sorted_id[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, ar, 0))
+    rank = ar - run_start
+    cell_over = jnp.any(rank >= ccap)
+
+    table = jnp.full((n_cells * ccap + 1,), N, jnp.int32)
+    slot = jnp.where(rank < ccap, sorted_id * ccap + rank, n_cells * ccap)
+    table = table.at[slot].set(order)
+
+    # 27-stencil candidate cells per atom
+    off = jnp.arange(-1, 2, dtype=jnp.int32)
+    o3 = jnp.stack(jnp.meshgrid(off, off, off, indexing="ij"),
+                   axis=-1).reshape(27, 3)                      # (27, 3)
+    nbc = jnp.mod(ci[:, None, :] + o3[None], ncv)               # (N, 27, 3)
+    nb_id = (nbc[..., 0] * nc2 + nbc[..., 1]) * nc3 + nbc[..., 2]
+    cand_slots = (nb_id[..., None] * ccap
+                  + jnp.arange(ccap, dtype=jnp.int32)).reshape(N, 27 * ccap)
+    cand = table[cand_slots]                                    # (N, 27*ccap)
+
+    xj = x[jnp.minimum(cand, N - 1)]
+    dr = pbc.min_image(x[:, None, :] - xj, box)
+    d2 = jnp.sum(dr * dr, axis=-1)
+    i_idx = ar[:, None]
+    fmask = (cand < N) & (cand != i_idx) & (d2 < cutoff2)
+    hmask = fmask & (cand > i_idx)
+
+    idx = _squeeze(hmask, capacity, cand)
+    full_idx = _squeeze(fmask, full_cap, cand)
+    overflow = (cell_over | box_bad
+                | jnp.any(jnp.sum(hmask, axis=1) > capacity)
+                | jnp.any(jnp.sum(fmask, axis=1) > full_cap))
+    return NeighborList(idx=idx, full_idx=full_idx, ref_x=x,
+                        overflow=overflow, capacity=capacity, cells=cells)
+
+
+def build_neighbors(x, box, cutoff, capacity, cells=()):
+    """Dispatch the dense or cell-list build on the static config."""
+    if cells:
+        return build_neighbor_list_cell(x, box, cutoff, capacity, cells)
+    return build_neighbor_list(x, box, cutoff, capacity)
+
+
+def rebuild_like(nlist: NeighborList, x, box, cutoff):
+    """Rebuild with the same static configuration as an existing list."""
+    return build_neighbors(x, box, cutoff, nlist.capacity, nlist.cells)
 
 
 def needs_rebuild(nlist: NeighborList, x, box, skin):

@@ -37,6 +37,13 @@ def main(argv=None):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # fp64 physics needs f64 FFTs (complex128), which TPU lacks; route
+        # those runs to CPU up front.  Env-var JAX_PLATFORMS is NOT enough
+        # on stacks whose plugin overrides it -- use the config key.
+        from ..io.simpmt import read_sim_params
+        if read_sim_params(args.simpmt).precision == "fp64":
+            jax.config.update("jax_platforms", "cpu")
 
     from ..md.simulation import Simulation
 

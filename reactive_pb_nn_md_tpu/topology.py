@@ -134,6 +134,7 @@ class System:
     evb_max_neighbors: int = struct.field(pytree_node=False, default=10)
     ms_evb: bool = struct.field(pytree_node=False, default=False)
     has_sapt: bool = struct.field(pytree_node=False, default=False)
+    eigensolver: str = struct.field(pytree_node=False, default="eigh")
 
 
 @struct.dataclass
@@ -528,5 +529,6 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         evb_max_neighbors=int(cfg.evb_max_neighbors),
         ms_evb=bool(cfg.ms_evb_simulation),
         has_sapt=bool((vdw_type == 1).any()),
+        eigensolver=str(getattr(cfg, "eigensolver", "eigh")),
     )
     return system, topo

@@ -71,12 +71,14 @@ def main():
     print(f"build topologies      : {timeit(build, dset):8.2f} ms")
     batch = build(dset)
 
+    full_idx = ms.nlist.full_idx
     diagf = jax.jit(lambda xx: ham.diabat_diagonal_energies(
-        xx, box, batch, system, pairs, cbw, topo.charge)[0])
+        xx, box, batch, system, pairs, cbw, topo.charge, topo, full_idx)[0])
     print(f"diag energies (fwd)   : {timeit(diagf, x):8.2f} ms")
 
     diagg = jax.jit(jax.grad(lambda xx: ham.diabat_diagonal_energies(
-        xx, box, batch, system, pairs, cbw, topo.charge)[0].sum()))
+        xx, box, batch, system, pairs, cbw, topo.charge, topo,
+        full_idx)[0].sum()))
     print(f"diag energies (f+bwd) : {timeit(diagg, x):8.2f} ms")
 
     cpl = jax.jit(lambda xx: ham.coupling_elements(xx, box, batch, system))

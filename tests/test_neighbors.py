@@ -1,0 +1,128 @@
+"""Cell-list neighbor build vs the dense sweep (same pair sets)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from reactive_pb_nn_md_tpu.ops import neighbors
+
+
+def _pair_set(idx):
+    out = set()
+    for i, row in enumerate(np.asarray(idx)):
+        for j in row:
+            if j >= 0:
+                out.add((i, int(j)))
+    return out
+
+
+def _random_box(n, L, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(0, L, size=(n, 3)))
+    box = jnp.asarray(np.diag([L, L, L]).astype(np.float64))
+    return x, box
+
+
+@pytest.mark.parametrize("n,L,cutoff", [(200, 20.0, 4.5), (400, 24.0, 6.0)])
+def test_cell_list_matches_dense(n, L, cutoff):
+    x, box = _random_box(n, L, seed=3)
+    cap = neighbors.suggest_capacity(n, L ** 3, cutoff, safety=2.0)
+    dense = neighbors.build_neighbor_list(x, box, cutoff, cap)
+    cells = neighbors.suggest_cells(n, np.asarray(box), cutoff, min_atoms=1)
+    assert cells, "expected a valid cell grid for this box"
+    cell = neighbors.build_neighbor_list_cell(x, box, cutoff, cap, cells)
+    assert not bool(dense.overflow)
+    assert not bool(cell.overflow)
+    assert _pair_set(dense.idx) == _pair_set(cell.idx)
+    assert _pair_set(dense.full_idx) == _pair_set(cell.full_idx)
+    # full list is the symmetrized half list
+    full = _pair_set(cell.full_idx)
+    assert {(j, i) for i, j in full} == full
+    assert {(i, j) for i, j in full if j > i} == _pair_set(cell.idx)
+
+
+def test_cell_capacity_overflow_flag():
+    x, box = _random_box(300, 18.0, seed=1)
+    cells = neighbors.suggest_cells(300, np.asarray(box), 4.0, min_atoms=1)
+    tiny = (cells[0], cells[1], cells[2], 2)   # 2 atoms/cell: must overflow
+    nl = neighbors.build_neighbor_list_cell(x, box, 4.0, 64, tiny)
+    assert bool(nl.overflow)
+
+
+def test_cell_box_shrink_overflow_flag():
+    """NPT shrink below one cutoff per cell flags the list invalid."""
+    x, box = _random_box(200, 20.0, seed=2)
+    cells = neighbors.suggest_cells(200, np.asarray(box), 4.5, min_atoms=1)
+    small = box * 0.6                       # 12 A box, 4 cells x 4.5 A won't fit
+    nl = neighbors.build_neighbor_list_cell(x * 0.6, small, 4.5, 64, cells)
+    assert bool(nl.overflow)
+
+
+def test_rebuild_like_preserves_config():
+    x, box = _random_box(250, 21.0, seed=5)
+    cells = neighbors.suggest_cells(250, np.asarray(box), 5.0, min_atoms=1)
+    nl = neighbors.build_neighbor_list_cell(x, box, 5.0, 48, cells)
+    nl2 = neighbors.rebuild_like(nl, x, box, 5.0)
+    assert nl2.cells == cells
+    assert _pair_set(nl.idx) == _pair_set(nl2.idx)
+    dense = neighbors.build_neighbor_list(x, box, 5.0, 48)
+    dense2 = neighbors.rebuild_like(dense, x, box, 5.0)
+    assert dense2.cells == ()
+    assert _pair_set(dense.idx) == _pair_set(dense2.idx)
+
+
+def test_md_step_with_cell_list_matches_dense(tmp_path):
+    """A few NVE steps with the cell-list rebuild path give the same
+    trajectory as with the dense build (the lists hold identical pairs)."""
+    import jax
+    from fixtures import make_water_box, write_fixture_files
+    from reactive_pb_nn_md_tpu.io.ffpmt import read_ffpmt
+    from reactive_pb_nn_md_tpu.io.topfile import read_top
+    from reactive_pb_nn_md_tpu.io.simpmt import read_sim_params
+    from reactive_pb_nn_md_tpu.topology import build_system, State
+    from reactive_pb_nn_md_tpu.models import pme
+    from reactive_pb_nn_md_tpu.md import integrators, velocities
+
+    ff_p, top_p, sim_p = write_fixture_files(
+        tmp_path, msevb="no", cutoff=4.0, verlet_cutoff=5.0, pme_grid=16)
+    frame = make_water_box(124, include_h3o=False, seed=7)
+    cfg = read_sim_params(sim_p)
+    system, topo = build_system(frame, read_ffpmt(ff_p), read_top(top_p),
+                                cfg)
+    key = jax.random.PRNGKey(0)
+    v = velocities.sample_velocities(
+        jax.random.PRNGKey(1), system.mass, 300.0,
+        velocities.freeze_mask(system, topo))
+    state = State(x=jnp.asarray(frame.xyz), v=v,
+                  box=jnp.asarray(frame.box), key=key,
+                  step=jnp.asarray(0, jnp.int32))
+    cbw = pme.cb_half(state.box, system.pme_grid, system.spline_order,
+                      system.alpha_sqrt, dtype=state.x.dtype)
+    cells = neighbors.suggest_cells(system.n_atoms, np.asarray(frame.box),
+                                    system.verlet_cutoff, min_atoms=1)
+    assert cells and cells[:3] >= (3, 3, 3)
+    vol = float(np.prod(np.diag(frame.box)))
+    cap = neighbors.suggest_capacity(system.n_atoms, vol,
+                                     system.verlet_cutoff)
+
+    results = {}
+    for name, cfg_cells in [("dense", ()), ("cell", cells)]:
+        ms = integrators.initial_md_state(state, topo, system, cbw, cap,
+                                          cells=cfg_cells)
+        assert not bool(ms.nbr_overflow)
+        # force a mid-run rebuild through the lax.cond path: skin is small
+        for _ in range(5):
+            ms = integrators.md_step(ms, system, cbw, cfg.delta_t, "NVE")
+        results[name] = (np.asarray(ms.state.x), float(ms.potential))
+    np.testing.assert_allclose(results["dense"][0], results["cell"][0],
+                               atol=1e-10)
+    assert abs(results["dense"][1] - results["cell"][1]) < 1e-8
+
+
+def test_suggest_cells_fallbacks():
+    box = np.diag([20.0, 20.0, 20.0])
+    assert neighbors.suggest_cells(100, box, 4.5, min_atoms=1024) == ()
+    # fewer than 3 cells per axis -> dense
+    assert neighbors.suggest_cells(5000, box, 8.0, min_atoms=1) == ()
+    c = neighbors.suggest_cells(5000, box, 4.5, min_atoms=1)
+    assert c[:3] == (4, 4, 4) and c[3] >= 5000 // 64

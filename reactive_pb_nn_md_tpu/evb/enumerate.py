@@ -111,10 +111,12 @@ def enumerate_diabats(x, box, topo: Topology, system: System) -> DiabatSet:
                 & com_ok[d][topo.atom_mol][None, :]
                 & (dist2 < EVB_REACTIVE_PAIR_DISTANCE ** 2)
                 & active)
-        order = jnp.argsort(~cand, axis=1, stable=True)[:, :Anb]
-        order = order.astype(jnp.int32)
-        sel = jnp.take_along_axis(cand, order, axis=1)
-        j_atom = jnp.where(sel, order, -1)                 # (A, Anb)
+        # first Anb candidate atoms in ascending index order, via top_k on a
+        # descending key (cheaper than a stable argsort over N)
+        n = cand.shape[1]
+        key = jnp.where(cand, n - jnp.arange(n, dtype=jnp.int32), 0)
+        vals = jax.lax.top_k(key, Anb)[0]                  # (A, Anb)
+        j_atom = jnp.where(vals > 0, n - vals, -1)         # ascending idx
         heavy_slot = mt.bonded_heavy_slot[d_mtype]         # (A,)
         heavy_g = jnp.where(heavy_slot >= 0,
                             d_atoms[jnp.maximum(heavy_slot, 0)], -1)

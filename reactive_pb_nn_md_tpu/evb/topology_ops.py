@@ -137,27 +137,170 @@ class DiabatBatch:
     changed_mask: jnp.ndarray   # (S, 2*C*A) bool
 
 
-def build_diabat_topologies(topo: Topology, dset: DiabatSet,
-                            system: System) -> DiabatBatch:
-    A = system.max_atoms_per_mol
+def _changed_atoms_one(topo: Topology, hop_log_s):
+    """Atoms of every molecule touched by a state's chain (for delta-Q PME);
+    membership is taken in the PRINCIPLE topology -- the union of
+    donor+acceptor atom sets is identical in both topologies."""
+    mols = jnp.concatenate([hop_log_s[:, 0], hop_log_s[:, 3]])       # (2C,)
+    mvalid = mols >= 0
+    atoms = topo.mol_atoms[jnp.maximum(mols, 0)]                     # (2C, A)
+    cmask = (mvalid[:, None] & (atoms >= 0)).reshape(-1)
+    flat = atoms.reshape(-1)
+    # dedupe: consecutive hops share molecules; a duplicated entry would
+    # double-count its charge delta in the delta-Q scatter
+    eq = flat[:, None] == flat[None, :]
+    seen_before = jnp.any(jnp.tril(eq, -1) & cmask[None, :], axis=1)
+    cmask = cmask & ~seen_before
+    return jnp.where(cmask, flat, -1), cmask
+
+
+def build_diabat_topologies_sequential(topo: Topology, dset: DiabatSet,
+                                       system: System) -> DiabatBatch:
+    """Ground-truth builder: apply_hop chains on the full-size arrays.
+    Kept as the reference for build_diabat_topologies (tested equal)."""
 
     def build_one(hop_log_s, n_hops_s):
         t = diabat_topology(topo, hop_log_s, n_hops_s, system)
-        # atoms of every molecule touched by the chain (for delta-Q PME);
-        # membership is taken in the PRINCIPLE topology -- the union of
-        # donor+acceptor atom sets is identical in both topologies
-        mols = jnp.concatenate([hop_log_s[:, 0], hop_log_s[:, 3]])   # (2C,)
-        mvalid = mols >= 0
-        atoms = topo.mol_atoms[jnp.maximum(mols, 0)]                 # (2C, A)
-        cmask = (mvalid[:, None] & (atoms >= 0)).reshape(-1)
-        flat = atoms.reshape(-1)
-        # dedupe: consecutive hops share molecules; a duplicated entry would
-        # double-count its charge delta in the delta-Q scatter
-        eq = flat[:, None] == flat[None, :]
-        seen_before = jnp.any(jnp.tril(eq, -1) & cmask[None, :], axis=1)
-        cmask = cmask & ~seen_before
-        return t, jnp.where(cmask, flat, -1), cmask
+        changed, cmask = _changed_atoms_one(topo, hop_log_s)
+        return t, changed, cmask
 
     topo_b, changed, cmask = jax.vmap(build_one)(dset.hop_log, dset.n_hops)
+    return DiabatBatch(dset=dset, topo=topo_b, changed_atoms=changed,
+                       changed_mask=cmask)
+
+
+def build_diabat_topologies(topo: Topology, dset: DiabatSet,
+                            system: System) -> DiabatBatch:
+    """Compact-domain builder (the default, == sequential path, tested).
+
+    A state's chain touches at most C+1 molecules, so the sequential hop
+    application runs on (C+1, A) chain-molecule blocks -- tiny tensors --
+    and the full-size (N,)/(M,A) topology arrays are written ONCE per state
+    at the end, instead of ~6 full-size scatters per hop.  This removes the
+    serialized small-scatter chain that dominated the enumeration/build
+    phase of the profiled TPU step.
+
+    Chains that revisit a molecule (e.g. the back-transfer A->B->A ending at
+    the principle hydronium) are handled by canonicalizing each chain
+    position to its FIRST row, so every molecule has one authoritative
+    block."""
+    ff, mt, evb = system.ff, system.mt, system.evb
+    A = system.max_atoms_per_mol
+    C = dset.hop_log.shape[1]
+    R = C + 1
+    slots = jnp.arange(A, dtype=jnp.int32)
+    rows = jnp.arange(R, dtype=jnp.int32)
+
+    def build_one(hop_log_s, n_hops_s, hydronium_s):
+        # chain molecules: donor of hop 0, then each hop's acceptor
+        cm = jnp.concatenate([hop_log_s[:1, 0], hop_log_s[:, 3]])    # (R,)
+        # canonical (first) row of each chain position
+        eq = cm[:, None] == cm[None, :]
+        canon = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        canon = jnp.where(cm >= 0, canon, rows)
+        is_canon = canon == rows
+
+        cms = jnp.maximum(cm, 0)
+        catoms = topo.mol_atoms[cms]                                 # (R, A)
+        ctype = jnp.where(catoms >= 0,
+                          topo.atom_type[jnp.maximum(catoms, 0)], -1)
+        cmt = topo.mol_mtype[cms]
+        cnat = topo.mol_natom[cms]
+
+        def do_hop(i, st):
+            catoms, ctype, cmt, cnat = st
+            proton, heavy_a = hop_log_s[i, 1], hop_log_s[i, 4]
+            d_row, a_row = canon[i], canon[i + 1]
+
+            # ---- donor loses the proton: compact its slot list + conjugate
+            datoms, dtypes = catoms[d_row], ctype[d_row]
+            s_p = jnp.argmax(datoms == proton).astype(jnp.int32)
+            sh_a = jnp.roll(datoms, -1).at[A - 1].set(-1)
+            sh_t = jnp.roll(dtypes, -1).at[A - 1].set(-1)
+            datoms_n = jnp.where(slots < s_p, datoms, sh_a)
+            dtypes_n = jnp.where(slots < s_p, dtypes, sh_t)
+            dtypes_n = jnp.where(datoms_n >= 0,
+                                 evb.conjugate_atype[jnp.maximum(dtypes_n, 0)],
+                                 -1)
+            catoms = catoms.at[d_row].set(datoms_n)
+            ctype = ctype.at[d_row].set(dtypes_n)
+            cmt = cmt.at[d_row].set(mt.conjugate_mtype[cmt[d_row]])
+            cnat = cnat.at[d_row].add(-1)
+
+            # ---- acceptor gains the proton at its last slot + conjugates
+            n_a = cnat[a_row]
+            aatoms = catoms[a_row].at[n_a].set(proton)
+            acid_t = mt.conjugate_mtype[cmt[a_row]]
+            atypes = jnp.where(aatoms >= 0,
+                               evb.conjugate_atype[jnp.maximum(ctype[a_row],
+                                                               0)], -1)
+            atypes = jnp.where(aatoms == proton, mt.proton_atype[acid_t],
+                               atypes)
+            atypes = jnp.where(aatoms == heavy_a, mt.heavy_atype[acid_t],
+                               atypes)
+
+            # ---- reorder acceptor slots to the acid template (greedy
+            # stable match, identical to apply_hop)
+            template = mt.atype[acid_t]
+
+            def reorder_body(k, carry):
+                atoms, types = carry
+                need = (template[k] >= 0) & (types[k] != template[k])
+                cand = (slots > k) & (types == template[k])
+                j = jnp.argmax(cand).astype(jnp.int32)
+                do = need & jnp.any(cand)
+                src = jnp.where(slots == k, j,
+                                jnp.where((slots > k) & (slots <= j),
+                                          slots - 1, slots))
+                atoms = jnp.where(do, atoms[src], atoms)
+                types = jnp.where(do, types[src], types)
+                return atoms, types
+
+            aatoms, atypes = jax.lax.fori_loop(0, A, reorder_body,
+                                               (aatoms, atypes))
+            catoms = catoms.at[a_row].set(aatoms)
+            ctype = ctype.at[a_row].set(atypes)
+            cmt = cmt.at[a_row].set(acid_t)
+            cnat = cnat.at[a_row].add(1)
+            return catoms, ctype, cmt, cnat
+
+        st = (catoms, ctype, cmt, cnat)
+        for i in range(C):
+            new = do_hop(i, st)
+            keep = i < n_hops_s
+            st = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(keep, n, o), new, st)
+        catoms, ctype, cmt, cnat = st
+
+        # ---- materialize: one masked scatter per full-size array
+        row_ok = (cm >= 0) & is_canon
+        amask = (row_ok[:, None] & (catoms >= 0)).reshape(-1)
+        aidx = jnp.maximum(catoms, 0).reshape(-1)
+        tvals = jnp.maximum(ctype, 0).reshape(-1)
+
+        atom_type = _scatter_update(topo.atom_type, aidx, tvals, amask)
+        charge = _scatter_update(topo.charge, aidx,
+                                 ff.charge_by_type[tvals], amask)
+        atom_slot = _scatter_update(
+            topo.atom_slot, aidx,
+            jnp.broadcast_to(slots[None], (R, A)).reshape(-1), amask)
+        atom_mol = _scatter_update(
+            topo.atom_mol, aidx,
+            jnp.broadcast_to(cms[:, None], (R, A)).reshape(-1), amask)
+        mol_mtype = _scatter_update(topo.mol_mtype, cms, cmt, row_ok)
+        mol_natom = _scatter_update(topo.mol_natom, cms, cnat, row_ok)
+        mol_atoms = topo.mol_atoms.at[cms].add(
+            jnp.where(row_ok[:, None], catoms - topo.mol_atoms[cms], 0))
+        hyd = jnp.where(n_hops_s > 0, hydronium_s, topo.hydronium_mol)
+
+        t = Topology(mol_mtype=mol_mtype, mol_natom=mol_natom,
+                     mol_atoms=mol_atoms, atom_mol=atom_mol,
+                     atom_slot=atom_slot, atom_type=atom_type, charge=charge,
+                     hydronium_mol=hyd.astype(jnp.int32))
+        changed, cmask = _changed_atoms_one(topo, hop_log_s)
+        return t, changed, cmask
+
+    topo_b, changed, cmask = jax.vmap(build_one)(
+        dset.hop_log, dset.n_hops, dset.hydronium_of)
     return DiabatBatch(dset=dset, topo=topo_b, changed_atoms=changed,
                        changed_mask=cmask)

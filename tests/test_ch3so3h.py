@@ -194,3 +194,21 @@ def test_acid_proton_transfer_diabats(acid_setup):
     # reference energy of the so3h state (-643.65) enters H00 but not H11
     Hm = np.asarray(res.hamiltonian)
     assert Hm[0, 0] - Hm[s, s] != 0.0
+
+
+def test_compact_builder_equals_sequential_acid(acid_setup):
+    """Compact-domain diabat builder parity on the acid system (bigger
+    molecule templates, so3h/so3 + h3o/h2o conjugate retyping)."""
+    from reactive_pb_nn_md_tpu.evb.topology_ops import (
+        build_diabat_topologies, build_diabat_topologies_sequential)
+    system, topo, x, box, pairs, cbw = acid_setup
+    dset = enumerate_diabats(x, box, topo, system)
+    n = int(dset.n_states)
+    assert n >= 2
+    ref = build_diabat_topologies_sequential(topo, dset, system)
+    new = build_diabat_topologies(topo, dset, system)
+    for name in ("mol_mtype", "mol_natom", "mol_atoms", "atom_mol",
+                 "atom_slot", "atom_type", "charge", "hydronium_mol"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref.topo, name))[:n],
+            np.asarray(getattr(new.topo, name))[:n], err_msg=name)

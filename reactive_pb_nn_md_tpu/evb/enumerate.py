@@ -66,13 +66,20 @@ def molecule_com(x, topo: Topology, mass, box=None):
     return jnp.sum(w[..., None] * xs, axis=1) / jnp.sum(w, axis=1)[:, None]
 
 
-def enumerate_diabats(x, box, topo: Topology, system: System) -> DiabatSet:
+def enumerate_diabats(x, box, topo: Topology, system: System,
+                      full_idx=None) -> DiabatSet:
     """Level-synchronous BFS over proton-hop chains.
 
     TPU-shaped: evb_max_chain (3) batched expansion rounds, each expanding
     EVERY state of the previous level at once (vmap), instead of a
     sequential per-state loop -- the per-level candidate search is one
-    (S, A, N) distance computation."""
+    (S, A, N) distance computation.
+
+    With `full_idx` (the (N, Kf) full neighbor adjacency), the candidate
+    search is restricted to each proton's neighbor row -- valid because
+    evb_reactive_pair_distance (2.5 A) < real_space_cutoff <= the list's
+    coverage even at maximum skin drift; rows are in ascending-j order for
+    the dense build, so the discovered state order is unchanged."""
     x = jax.lax.stop_gradient(x)
     S = system.evb_max_states
     C = system.evb_max_chain
@@ -104,19 +111,35 @@ def enumerate_diabats(x, box, topo: Topology, system: System) -> DiabatSet:
         d_atoms = topo.mol_atoms[d]                        # (A,)
         proton_ok = (mt.reactive_protons[d_mtype] > 0) & (d_atoms >= 0)
         g_p = jnp.maximum(d_atoms, 0)
-        dr = pbc.min_image(x[g_p][:, None, :] - x[None, :, :], box)
-        dist2 = jnp.sum(dr * dr, axis=-1)                  # (A, N)
-        cand = (proton_ok[:, None] & base_atom[None, :]
-                & (topo.atom_mol[None, :] != d)
-                & com_ok[d][topo.atom_mol][None, :]
+        if full_idx is None:
+            xj = x[None, :, :]                             # (1, N, 3)
+            jmol = topo.atom_mol[None, :]
+            base_j = base_atom[None, :]
+            row_ok = True
+            jg = jnp.broadcast_to(
+                jnp.arange(x.shape[0], dtype=jnp.int32)[None, :],
+                (g_p.shape[0], x.shape[0]))                # (A, N)
+        else:
+            rows = full_idx[g_p]                           # (A, Kf)
+            row_ok = rows >= 0
+            jg = jnp.maximum(rows, 0)
+            xj = x[jg]
+            jmol = topo.atom_mol[jg]
+            base_j = base_atom[jg]
+        dr = pbc.min_image(x[g_p][:, None, :] - xj, box)
+        dist2 = jnp.sum(dr * dr, axis=-1)                  # (A, Kf)
+        cand = (proton_ok[:, None] & row_ok & base_j
+                & (jmol != d)
+                & com_ok[d][jmol]
                 & (dist2 < EVB_REACTIVE_PAIR_DISTANCE ** 2)
                 & active)
-        # first Anb candidate atoms in ascending index order, via top_k on a
-        # descending key (cheaper than a stable argsort over N)
+        # first Anb candidate columns (ascending global j for the dense
+        # build), via top_k on a descending key (cheaper than stable argsort)
         n = cand.shape[1]
         key = jnp.where(cand, n - jnp.arange(n, dtype=jnp.int32), 0)
-        vals = jax.lax.top_k(key, Anb)[0]                  # (A, Anb)
-        j_atom = jnp.where(vals > 0, n - vals, -1)         # ascending idx
+        vals, sel = jax.lax.top_k(key, Anb)                # (A, Anb)
+        j_atom = jnp.where(vals > 0,
+                           jnp.take_along_axis(jg, sel, axis=1), -1)
         heavy_slot = mt.bonded_heavy_slot[d_mtype]         # (A,)
         heavy_g = jnp.where(heavy_slot >= 0,
                             d_atoms[jnp.maximum(heavy_slot, 0)], -1)

@@ -353,18 +353,17 @@ class EvbResult:
 def adiabatic_energy_force(x, box, topo: Topology, system: System,
                            pairs, cbw, full_idx=None) -> tuple:
     """Full MS-EVB force/energy evaluation; returns (EvbResult, DiabatBatch)."""
-    dset = enumerate_diabats(x, box, topo, system)
-    batch = build_diabat_topologies(topo, dset, system)
-    base_charge = topo.charge
     if full_idx is None:
         # derive a full adjacency from the half pair list is not possible
         # here; callers on the hot path pass nlist.full_idx.  Fallback:
         # dense all-pairs rows (testing convenience only).
-        i, j, mask = pairs
         N = system.n_atoms
         full_idx = jnp.where(
             jnp.eye(N, dtype=bool), -1,
             jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (N, N)))
+    dset = enumerate_diabats(x, box, topo, system, full_idx=full_idx)
+    batch = build_diabat_topologies(topo, dset, system)
+    base_charge = topo.charge
 
     from ..ops import ground_state as gs
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..topology import System, Topology
 from ..utils import pbc
+from ..ops.lookup import one_hot_f
 
 
 def _switch(r, rs, rc):
@@ -59,9 +60,17 @@ def ms_evb_repulsion(x, box, topo: Topology, system: System):
 
     # ----- three-atom O-O repulsion (ms_evb.f90:2295-2399)
     t_heavy = topo.atom_type[heavy_atom]
-    # per-solvent-atom parameters, keyed (j_type, heavy_type, H_type)
-    da_p = evb.da_params[t_j, t_heavy, proton_t]  # (N, 6)
-    da_m = evb.da_mask[t_j, t_heavy, proton_t] & solvent
+    # per-solvent-atom parameters, keyed (j_type, heavy_type, H_type).
+    # (heavy_type, H_type) are per-topology scalars, so slice the (T,...)
+    # column and contract with a one-hot of t_j on the MXU -- the direct
+    # (N,)-gather from the tiny table serialized at ~200 ns/element and was
+    # ~15% of the reactive step under the diabat vmap (see ops/lookup.py)
+    T = evb.da_params.shape[0]
+    hp_col = jnp.maximum(t_heavy, 0), jnp.maximum(proton_t, 0)
+    oh_j = one_hot_f(t_j, T, x.dtype)                           # (N, T)
+    da_p = oh_j @ evb.da_params[:, hp_col[0], hp_col[1], :]     # (N, 6)
+    da_m = (oh_j @ evb.da_mask[:, hp_col[0], hp_col[1]]
+            .astype(x.dtype) > 0.5) & solvent
 
     r_heavy = x[heavy_atom]
     d_jO = pbc.min_image(r_heavy[None, :] - x, box)     # j -> heavy, (N, 3)
@@ -90,10 +99,17 @@ def ms_evb_repulsion(x, box, topo: Topology, system: System):
     e_three = jnp.sum(jnp.where(da_m, s_OO * fac_OO * sum_q, 0.0))
 
     # ----- Born-Mayer proton-acceptor terms (ms_evb.f90:2405-2478)
+    # (N, A) lookups keyed (j_type, i_type): contract the A side into a
+    # tiny (T, A, 5) table first, then one (N, T) @ (T, A*5) MXU matmul
     t_i = jnp.where(amask, types, 0)                                  # (A,)
-    pa_p = evb.pa_params[t_j[:, None], t_i[None, :]]                  # (N,A,5)
-    pa_m = (evb.pa_mask[t_j[:, None], t_i[None, :]]
-            & solvent[:, None] & amask[None, :])
+    A_ = t_i.shape[0]
+    oh_i = one_hot_f(t_i, T, x.dtype)                                 # (A, T)
+    pa_sel = jnp.einsum("au,tuk->tak", oh_i,
+                        evb.pa_params.astype(x.dtype))                # (T,A,5)
+    pa_p = (oh_j @ pa_sel.reshape(T, A_ * 5)).reshape(-1, A_, 5)      # (N,A,5)
+    pm_sel = jnp.einsum("au,tu->ta", oh_i, evb.pa_mask.astype(x.dtype))
+    pa_m = ((oh_j @ pm_sel) > 0.5) \
+        & solvent[:, None] & amask[None, :]
     d_ji = pbc.min_image(x[atoms][None, :, :] - x[:, None, :], box)   # (N,A,3)
     r_ji = jnp.sqrt(jnp.where(pa_m, jnp.sum(d_ji * d_ji, -1), 1.0))
     C, cl, d0h, rsh, rch = (pa_p[..., k] for k in range(5))

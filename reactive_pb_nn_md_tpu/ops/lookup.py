@@ -11,23 +11,51 @@ the gather.
 import jax.numpy as jnp
 
 
-def pair_lookup(table, ti, tj):
-    """table[(ti, tj)] for flat index arrays ti, tj.
+def one_hot_f(t, T, dtype):
+    """Exact 0/1 one-hot of an int array, shape t.shape + (T,)."""
+    return (t[..., None] == jnp.arange(T, dtype=jnp.int32)).astype(dtype)
 
-    table: (T, T) or (T, T, C).  Returns (P,) or (P, C) with the table's
-    dtype (integer tables go through f32, exact for |v| < 2^24)."""
+
+def table_lookup(table, t):
+    """table[t] for an int index array t of any shape, via one-hot matmul.
+
+    table: (T,) or (T, C...).  Exact (one nonzero product per row)."""
+    T = table.shape[0]
+    squeeze = table.ndim == 1
+    flat = table.reshape(T, -1)                        # (T, C)
+    f = flat.astype(jnp.float32) if flat.dtype != jnp.float64 else flat
+    oh = one_hot_f(t.astype(jnp.int32).reshape(-1), T, f.dtype)
+    res = oh @ f                                       # (P, C) on the MXU
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        res = jnp.round(res).astype(table.dtype)
+    elif table.dtype == jnp.bool_:
+        res = res > 0.5
+    else:
+        res = res.astype(table.dtype)
+    res = res.reshape(t.shape + (flat.shape[1],))
+    return res[..., 0] if squeeze else res
+
+
+def pair_lookup(table, ti, tj):
+    """table[(ti, tj)] for broadcastable int index arrays ti, tj.
+
+    table: (T, T) or (T, T, C).  Returns the broadcast shape (or + (C,))
+    with the table's dtype (integer tables go through f32, exact for
+    |v| < 2^24)."""
     T = table.shape[0]
     squeeze = table.ndim == 2
     flat = table.reshape(T * T, -1)                    # (T^2, C)
     idx = (ti.astype(jnp.int32) * T + tj.astype(jnp.int32))
+    shape = idx.shape
+    idx = idx.reshape(-1)
 
     out_dtype = table.dtype
     f = flat.astype(jnp.float32) if flat.dtype != jnp.float64 else flat
-    oh = (idx[:, None] == jnp.arange(T * T, dtype=jnp.int32)[None, :])
-    oh = oh.astype(f.dtype)
+    oh = one_hot_f(idx, T * T, f.dtype)
     res = oh @ f                                       # (P, C) on the MXU
     if jnp.issubdtype(out_dtype, jnp.integer):
         res = jnp.round(res).astype(out_dtype)
     else:
         res = res.astype(out_dtype)
-    return res[:, 0] if squeeze else res
+    res = res.reshape(shape + (flat.shape[1],))
+    return res[..., 0] if squeeze else res

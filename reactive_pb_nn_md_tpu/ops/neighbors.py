@@ -230,10 +230,14 @@ def needs_rebuild(nlist: NeighborList, x, box, skin):
 
 
 def neighbor_pairs(nlist: NeighborList):
-    """Flatten the (N,K) half list into (P, 2) index pairs + mask."""
+    """Expose the (N,K) half list as broadcastable (i, j, mask) index arrays.
+
+    i is (N, 1) and j/mask are (N, K): the pair kernels broadcast, so every
+    i-side value gather is an O(N) row gather instead of an O(N*K) flat
+    gather (and its force transpose is a cheap row reduction instead of a
+    scatter-add -- on TPU the flat-gather form was ~25% of the MD step)."""
     N, K = nlist.idx.shape
-    i = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, K))
+    i = jnp.arange(N, dtype=jnp.int32)[:, None]
     j = nlist.idx
     mask = j >= 0
-    return i.reshape(-1), jnp.where(mask, j, 0).reshape(-1).astype(jnp.int32), \
-        mask.reshape(-1)
+    return i, jnp.where(mask, j, 0).astype(jnp.int32), mask

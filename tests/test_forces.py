@@ -98,8 +98,12 @@ def test_neighbor_list_matches_bruteforce(water_system):
                                      system.verlet_cutoff)
     nlist = neighbors.build_neighbor_list(x, box, system.verlet_cutoff, cap)
     i, j, mask = neighbors.neighbor_pairs(nlist)
+    mask = np.asarray(mask)
+    i = np.broadcast_to(np.asarray(i), mask.shape).reshape(-1)
+    j = np.asarray(j).reshape(-1)
+    mask = mask.reshape(-1)
     got = set()
-    for a, b, m in zip(np.asarray(i), np.asarray(j), np.asarray(mask)):
+    for a, b, m in zip(i, j, mask):
         if m:
             got.add((int(a), int(b)))
 

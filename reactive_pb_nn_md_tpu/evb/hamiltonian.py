@@ -351,8 +351,13 @@ class EvbResult:
 
 
 def adiabatic_energy_force(x, box, topo: Topology, system: System,
-                           pairs, cbw, full_idx=None) -> tuple:
-    """Full MS-EVB force/energy evaluation; returns (EvbResult, DiabatBatch)."""
+                           pairs, cbw, full_idx=None,
+                           react_idx=None) -> tuple:
+    """Full MS-EVB force/energy evaluation; returns (EvbResult, DiabatBatch).
+
+    react_idx: optional short-cutoff adjacency (nlist.react_idx) -- the
+    narrowest rows that still cover evb_reactive_pair_distance; used for
+    the hop-candidate search only."""
     if full_idx is None:
         # derive a full adjacency from the half pair list is not possible
         # here; callers on the hot path pass nlist.full_idx.  Fallback:
@@ -361,7 +366,9 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
         full_idx = jnp.where(
             jnp.eye(N, dtype=bool), -1,
             jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (N, N)))
-    dset = enumerate_diabats(x, box, topo, system, full_idx=full_idx)
+    dset = enumerate_diabats(
+        x, box, topo, system,
+        full_idx=react_idx if react_idx is not None else full_idx)
     batch = build_diabat_topologies(topo, dset, system)
     base_charge = topo.charge
 

@@ -78,7 +78,8 @@ def evaluate_forces(x, box, topo, system: System, nlist, cbw):
     S = system.evb_max_states
     if system.ms_evb:
         res, batch = ham.adiabatic_energy_force(x, box, topo, system, pairs,
-                                                cbw, full_idx=nlist.full_idx)
+                                                cbw, full_idx=nlist.full_idx,
+                                                react_idx=nlist.react_idx)
         new_topo = jax.tree_util.tree_map(
             lambda a: a[res.principle], batch.topo)
         hopped = res.new_hydronium != topo.hydronium_mol
@@ -182,8 +183,23 @@ def initial_md_state(state: State, topo: Topology, system: System, cbw,
     if cells is None:
         cells = neighbors.suggest_cells(system.n_atoms, state.box,
                                         system.verlet_cutoff)
+    # reactive systems also get the short-cutoff adjacency for the
+    # hop-candidate search: evb_reactive_pair_distance + the full skin
+    # (the list stays valid exactly as long as the main list does)
+    react_cutoff, react_cap = 0.0, 0
+    if system.ms_evb:
+        from ..utils.constants import EVB_REACTIVE_PAIR_DISTANCE
+        import numpy as _np
+        skin = system.verlet_cutoff - system.real_space_cutoff
+        react_cutoff = float(EVB_REACTIVE_PAIR_DISTANCE + skin)
+        vol = abs(float(_np.linalg.det(_np.asarray(state.box))))
+        per_atom = (4.0 / 3.0 * _np.pi * react_cutoff ** 3
+                    * system.n_atoms / vol)
+        react_cap = max(8, min(int(per_atom * 1.4) + 8, system.n_atoms - 1))
     nlist = neighbors.build_neighbors(state.x, state.box,
-                                      system.verlet_cutoff, capacity, cells)
+                                      system.verlet_cutoff, capacity, cells,
+                                      react_cutoff=react_cutoff,
+                                      react_cap=react_cap)
     (pot, bd, force, new_topo, n_states, eigvec, hopped,
      evb_over) = evaluate_forces(state.x, state.box, topo, system, nlist,
                                  cbw)

@@ -36,6 +36,12 @@ class NeighborList:
     capacity: int = struct.field(pytree_node=False, default=0)
     # cell-list config (static): () = dense build, else (nc1, nc2, nc3, cap)
     cells: tuple = struct.field(pytree_node=False, default=())
+    # short-cutoff full adjacency for the EVB proton-hop candidate search
+    # (evb_reactive_pair_distance + skin); None unless requested -- shrinks
+    # the per-level (S, A, Kf) enumeration gathers ~4x vs full_idx rows
+    react_idx: jnp.ndarray = None     # (N, Kr) int32 or None
+    react_cutoff: float = struct.field(pytree_node=False, default=0.0)
+    react_cap: int = struct.field(pytree_node=False, default=0)
 
 
 def suggest_capacity(n_atoms, volume, cutoff, safety=1.2):
@@ -82,16 +88,20 @@ def suggest_cells(n_atoms, box, cutoff, safety=1.45, min_atoms=1024):
     return (nc[0], nc[1], nc[2], cap)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "chunk"))
-def build_neighbor_list(x, box, cutoff, capacity, chunk=512):
+@functools.partial(jax.jit, static_argnames=("capacity", "chunk",
+                                              "react_cutoff", "react_cap"))
+def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
+                        react_cutoff=0.0, react_cap=0):
     """Neighbor lists of all atom pairs within cutoff.
 
-    Builds both views in one sweep: the half list (j > i, used by the main
-    pair sum) and the full adjacency (used by the EVB delta diagonals to
-    enumerate every pair touching a changed atom)."""
+    Builds the views in one sweep: the half list (j > i, used by the main
+    pair sum), the full adjacency (used by the EVB delta diagonals to
+    enumerate every pair touching a changed atom) and, when react_cap > 0,
+    the short-cutoff full adjacency for the proton-hop candidate search."""
     N = x.shape[0]
     capacity = min(capacity, N - 1)
     full_cap = min(2 * capacity, N - 1)
+    react_cap = min(react_cap, N - 1)
     n_chunks = -(-N // chunk)
     pad_n = n_chunks * chunk
     xp = jnp.pad(x, ((0, pad_n - N), (0, 0)))
@@ -114,17 +124,27 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512):
             sel_mask = jnp.take_along_axis(mask, sel, axis=1)
             return jnp.where(sel_mask, sel, -1).astype(jnp.int32)
 
-        return (squeeze(hmask, capacity), squeeze(fmask, full_cap),
-                jnp.sum(hmask, axis=1), jnp.sum(fmask, axis=1))
+        out = (squeeze(hmask, capacity), squeeze(fmask, full_cap),
+               jnp.sum(hmask, axis=1), jnp.sum(fmask, axis=1))
+        if react_cap > 0:
+            rmask = fmask & (d2 < react_cutoff * react_cutoff)
+            out += (squeeze(rmask, react_cap), jnp.sum(rmask, axis=1))
+        return out
 
-    hvals, fvals, hcounts, fcounts = jax.lax.map(
-        one_chunk, jnp.arange(n_chunks))
+    res = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    hvals, fvals, hcounts, fcounts = res[:4]
     idx = hvals.reshape(pad_n, capacity)[:N]
     full_idx = fvals.reshape(pad_n, full_cap)[:N]
     overflow = (jnp.any(hcounts.reshape(-1)[:N] > capacity)
                 | jnp.any(fcounts.reshape(-1)[:N] > full_cap))
+    react_idx = None
+    if react_cap > 0:
+        react_idx = res[4].reshape(pad_n, react_cap)[:N]
+        overflow = overflow | jnp.any(res[5].reshape(-1)[:N] > react_cap)
     return NeighborList(idx=idx, full_idx=full_idx, ref_x=x,
-                        overflow=overflow, capacity=capacity)
+                        overflow=overflow, capacity=capacity,
+                        react_idx=react_idx, react_cutoff=react_cutoff,
+                        react_cap=react_cap)
 
 
 def _squeeze(mask, cap, idx_val):
@@ -136,8 +156,10 @@ def _squeeze(mask, cap, idx_val):
     return jnp.where(sel_mask, vals, -1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "cells"))
-def build_neighbor_list_cell(x, box, cutoff, capacity, cells):
+@functools.partial(jax.jit, static_argnames=("capacity", "cells",
+                                              "react_cutoff", "react_cap"))
+def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
+                             react_cutoff=0.0, react_cap=0):
     """O(N) cell-list neighbor build (static grid, fixed cell capacity).
 
     Replaces the dense O(N^2) sweep for large systems; TPU-shaped version of
@@ -204,20 +226,35 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells):
     overflow = (cell_over | box_bad
                 | jnp.any(jnp.sum(hmask, axis=1) > capacity)
                 | jnp.any(jnp.sum(fmask, axis=1) > full_cap))
+    react_idx = None
+    react_cap = min(react_cap, N - 1)
+    if react_cap > 0:
+        rmask = fmask & (d2 < react_cutoff * react_cutoff)
+        react_idx = _squeeze(rmask, react_cap, cand)
+        overflow = overflow | jnp.any(jnp.sum(rmask, axis=1) > react_cap)
     return NeighborList(idx=idx, full_idx=full_idx, ref_x=x,
-                        overflow=overflow, capacity=capacity, cells=cells)
+                        overflow=overflow, capacity=capacity, cells=cells,
+                        react_idx=react_idx, react_cutoff=react_cutoff,
+                        react_cap=react_cap)
 
 
-def build_neighbors(x, box, cutoff, capacity, cells=()):
+def build_neighbors(x, box, cutoff, capacity, cells=(), react_cutoff=0.0,
+                    react_cap=0):
     """Dispatch the dense or cell-list build on the static config."""
     if cells:
-        return build_neighbor_list_cell(x, box, cutoff, capacity, cells)
-    return build_neighbor_list(x, box, cutoff, capacity)
+        return build_neighbor_list_cell(x, box, cutoff, capacity, cells,
+                                        react_cutoff=react_cutoff,
+                                        react_cap=react_cap)
+    return build_neighbor_list(x, box, cutoff, capacity,
+                               react_cutoff=react_cutoff,
+                               react_cap=react_cap)
 
 
 def rebuild_like(nlist: NeighborList, x, box, cutoff):
     """Rebuild with the same static configuration as an existing list."""
-    return build_neighbors(x, box, cutoff, nlist.capacity, nlist.cells)
+    return build_neighbors(x, box, cutoff, nlist.capacity, nlist.cells,
+                           react_cutoff=nlist.react_cutoff,
+                           react_cap=nlist.react_cap)
 
 
 def needs_rebuild(nlist: NeighborList, x, box, skin):

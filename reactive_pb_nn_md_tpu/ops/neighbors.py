@@ -119,10 +119,17 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
         hmask = fmask & (j_idx > i_idx)
 
         def squeeze(mask, cap):
-            order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True)
-            sel = order[:, :cap]
-            sel_mask = jnp.take_along_axis(mask, sel, axis=1)
-            return jnp.where(sel_mask, sel, -1).astype(jnp.int32)
+            # first `cap` True columns in ascending order via top_k on a
+            # descending key (cheaper than a stable argsort over N)
+            n = mask.shape[1]
+            k = min(cap, n)
+            key = jnp.where(mask, n - jnp.arange(n, dtype=jnp.int32), 0)
+            vals = jax.lax.top_k(key, k)[0]
+            out = jnp.where(vals > 0, n - vals, -1).astype(jnp.int32)
+            if k < cap:
+                out = jnp.pad(out, ((0, 0), (0, cap - k)),
+                              constant_values=-1)
+            return out
 
         out = (squeeze(hmask, capacity), squeeze(fmask, full_cap),
                jnp.sum(hmask, axis=1), jnp.sum(fmask, axis=1))
@@ -148,12 +155,17 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
 
 
 def _squeeze(mask, cap, idx_val):
-    """Compact True columns of a (R, C) mask into (R, cap) indices, -1 pad."""
-    order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True)
-    sel = order[:, :cap]
-    sel_mask = jnp.take_along_axis(mask, sel, axis=1)
+    """Compact True columns of a (R, C) mask into (R, cap) values, -1 pad
+    (first-k-true selection in column order, via top_k)."""
+    n = mask.shape[1]
+    k = min(cap, n)
+    key = jnp.where(mask, n - jnp.arange(n, dtype=jnp.int32), 0)
+    kvals, sel = jax.lax.top_k(key, k)
     vals = jnp.take_along_axis(idx_val, sel, axis=1)
-    return jnp.where(sel_mask, vals, -1).astype(jnp.int32)
+    out = jnp.where(kvals > 0, vals, -1).astype(jnp.int32)
+    if k < cap:
+        out = jnp.pad(out, ((0, 0), (0, cap - k)), constant_values=-1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "cells",

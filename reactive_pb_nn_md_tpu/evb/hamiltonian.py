@@ -159,28 +159,39 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     pos_in_U = pos_pad.at[jnp.where(ua_mask, ua, N)].set(
         jnp.arange(U, dtype=jnp.int32))[:N]
 
-    # ---------------- state-independent pair data over U's neighbor rows
+    # ---------------- state-independent pair data over U's neighbor rows.
+    # The four x-independent j-side per-atom values are packed into one
+    # (N, 4) array -> ONE row gather instead of four (TPU gather cost is
+    # per-row; same trick as models/total.realspace_inter)
     rows = full_idx[ua]                                    # (U, Kf)
     rmask = ua_mask[:, None] & (rows >= 0)
     j = jnp.maximum(rows, 0)
+    packed = jnp.stack([base_charge.astype(f),
+                        topo0.atom_type.astype(f),
+                        topo0.atom_mol.astype(f),
+                        pos_in_U.astype(f)], axis=1)       # (N, 4)
+    pj = packed[j]                                         # (U, Kf, 4)
+    qj0 = pj[..., 0]
+    t0j = jnp.round(pj[..., 1]).astype(jnp.int32)
+    mol_j0 = pj[..., 2]
+    jU = jnp.round(pj[..., 3]).astype(jnp.int32)           # (U, Kf)
     dr = pbc.min_image(x[ua][:, None, :] - x[j], box)
     r2 = jnp.sum(dr * dr, -1)
     within = rmask & (r2 < system.real_space_cutoff ** 2)
     r2s = jnp.where(within, r2, 1.0)
     r = jnp.sqrt(r2s)
-    jU = pos_in_U[j]                                       # (U, Kf)
     out_p = within & (jU < 0)
     uu_p = within & (jU >= 0)
-    inter0 = topo0.atom_mol[ua][:, None] != topo0.atom_mol[j]
+    inter0 = topo0.atom_mol[ua].astype(f)[:, None] != mol_j0
 
     ke = nonbonded.ewald_real(jnp.ones_like(r), r, system.alpha_sqrt)
-    phi_el = jnp.sum(jnp.where(out_p & inter0, ke * base_charge[j], 0.0),
+    phi_el = jnp.sum(jnp.where(out_p & inter0, ke * qj0, 0.0),
                      axis=1)                               # (U,)
 
     # vdW out-field per type option
     opts = system.evb.type_options[topo0.atom_type[ua]]    # (U, O)
     O = opts.shape[1]
-    t0j_f = topo0.atom_type[j].reshape(-1)
+    t0j_f = t0j.reshape(-1)
     r_f, r2_f = r.reshape(-1), r2s.reshape(-1)
     no14 = jnp.zeros((U * Kf,), bool)
 

@@ -126,3 +126,48 @@ def test_suggest_cells_fallbacks():
     assert neighbors.suggest_cells(5000, box, 8.0, min_atoms=1) == ()
     c = neighbors.suggest_cells(5000, box, 4.5, min_atoms=1)
     assert c[:3] == (4, 4, 4) and c[3] >= 5000 // 64
+
+
+def test_react_adjacency_enumeration_equivalence():
+    """Diabat enumeration over the short-cutoff reactive adjacency must be
+    IDENTICAL (same states, same order) to the dense all-pairs search:
+    evb_reactive_pair_distance < react_cutoff and rows are ascending-j."""
+    import pathlib
+    import tempfile
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from fixtures import make_water_box, write_fixture_files
+    from reactive_pb_nn_md_tpu.io.ffpmt import read_ffpmt
+    from reactive_pb_nn_md_tpu.io.topfile import read_top
+    from reactive_pb_nn_md_tpu.io.simpmt import read_sim_params
+    from reactive_pb_nn_md_tpu.topology import build_system
+    from reactive_pb_nn_md_tpu.evb.enumerate import enumerate_diabats
+    from reactive_pb_nn_md_tpu.utils.constants import \
+        EVB_REACTIVE_PAIR_DISTANCE
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    ff_p, top_p, sim_p = write_fixture_files(tmp, msevb="yes")
+    cfg = read_sim_params(sim_p)
+    frame = make_water_box(63, include_h3o=True, seed=11)
+    system, topo = build_system(frame, read_ffpmt(ff_p), read_top(top_p),
+                                cfg)
+    x = jnp.asarray(frame.xyz)
+    box = jnp.asarray(frame.box)
+    skin = system.verlet_cutoff - system.real_space_cutoff
+    react_cutoff = float(EVB_REACTIVE_PAIR_DISTANCE + skin)
+    nlist = neighbors.build_neighbor_list(
+        x, box, system.verlet_cutoff, 128,
+        react_cutoff=react_cutoff, react_cap=48)
+    assert not bool(nlist.overflow)
+    assert nlist.react_idx is not None
+
+    dense = enumerate_diabats(x, box, topo, system)
+    rows = enumerate_diabats(x, box, topo, system,
+                             full_idx=nlist.react_idx)
+    assert int(dense.n_states) == int(rows.n_states)
+    np.testing.assert_array_equal(np.asarray(dense.hop_log),
+                                  np.asarray(rows.hop_log))
+    np.testing.assert_array_equal(np.asarray(dense.parent),
+                                  np.asarray(rows.parent))
+    np.testing.assert_array_equal(np.asarray(dense.hydronium_of),
+                                  np.asarray(rows.hydronium_of))

@@ -84,6 +84,11 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
     S = system.evb_max_states
     C = system.evb_max_chain
     Anb = min(system.evb_max_neighbors, system.n_atoms)
+    if full_idx is not None:
+        # a row narrower than Anb cannot hold Anb candidates anyway;
+        # without the clamp top_k(k=Anb) is a trace-time error on dilute
+        # systems whose adjacency rows are thinner than evb_max_neighbors
+        Anb = min(Anb, full_idx.shape[1])
     A = system.max_atoms_per_mol
     mt = system.mt
 
@@ -133,13 +138,10 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
                 & com_ok[d][jmol]
                 & (dist2 < EVB_REACTIVE_PAIR_DISTANCE ** 2)
                 & active)
-        # first Anb candidate columns (ascending global j for the dense
-        # build), via top_k on a descending key (cheaper than stable argsort)
-        n = cand.shape[1]
-        key = jnp.where(cand, n - jnp.arange(n, dtype=jnp.int32), 0)
-        vals, sel = jax.lax.top_k(key, Anb)                # (A, Anb)
-        j_atom = jnp.where(vals > 0,
-                           jnp.take_along_axis(jg, sel, axis=1), -1)
+        # first Anb candidate columns (ascending global j: dense columns
+        # are ordered, react_idx rows are sorted by the neighbor build)
+        from ..ops.neighbors import first_true_columns
+        j_atom = first_true_columns(cand, Anb, jg)         # (A, Anb)
         heavy_slot = mt.bonded_heavy_slot[d_mtype]         # (A,)
         heavy_g = jnp.where(heavy_slot >= 0,
                             d_atoms[jnp.maximum(heavy_slot, 0)], -1)

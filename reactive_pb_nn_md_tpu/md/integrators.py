@@ -179,23 +179,28 @@ def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
 
 
 def initial_md_state(state: State, topo: Topology, system: System, cbw,
-                     capacity: int, cells=None) -> MDState:
+                     capacity: int, cells=None,
+                     react_cap: int = None) -> MDState:
     if cells is None:
         cells = neighbors.suggest_cells(system.n_atoms, state.box,
                                         system.verlet_cutoff)
     # reactive systems also get the short-cutoff adjacency for the
     # hop-candidate search: evb_reactive_pair_distance + the full skin
-    # (the list stays valid exactly as long as the main list does)
-    react_cutoff, react_cap = 0.0, 0
+    # (the list stays valid exactly as long as the main list does).
+    # react_cap can be passed explicitly (the simulation driver grows it
+    # on overflow, like the main capacity).
+    react_cutoff = 0.0
     if system.ms_evb:
         from ..utils.constants import EVB_REACTIVE_PAIR_DISTANCE
         import numpy as _np
         skin = system.verlet_cutoff - system.real_space_cutoff
         react_cutoff = float(EVB_REACTIVE_PAIR_DISTANCE + skin)
-        vol = abs(float(_np.linalg.det(_np.asarray(state.box))))
-        per_atom = (4.0 / 3.0 * _np.pi * react_cutoff ** 3
-                    * system.n_atoms / vol)
-        react_cap = max(8, min(int(per_atom * 1.4) + 8, system.n_atoms - 1))
+        if react_cap is None:
+            vol = abs(float(_np.linalg.det(_np.asarray(state.box))))
+            react_cap = neighbors.suggest_capacity(
+                system.n_atoms, vol, react_cutoff, safety=1.4)
+    else:
+        react_cap = 0
     nlist = neighbors.build_neighbors(state.x, state.box,
                                       system.verlet_cutoff, capacity, cells,
                                       react_cutoff=react_cutoff,

@@ -99,8 +99,10 @@ class Simulation:
         self.cells = neighbors.suggest_cells(
             self.system.n_atoms, np.asarray(state.box),
             self.system.verlet_cutoff)
+        self.react_cap = None     # density default; grown on overflow
         self.ms = integrators.initial_md_state(
             state, topo, self.system, self.cbw, self.capacity, self.cells)
+        self.react_cap = self.ms.nlist.react_cap or None
         self._retry_capacity_if_overflow()
 
         self._evb_overflow_warned = False
@@ -112,15 +114,21 @@ class Simulation:
 
     # ------------------------------------------------------------------
     def _retry_capacity_if_overflow(self):
+        # the overflow flag is shared by the half list, full adjacency,
+        # reactive adjacency and cell buckets -- grow them all (they are
+        # cheap relative to a silently truncated list)
         while bool(self.ms.nbr_overflow):
             self.capacity = min(int(self.capacity * 1.5) + 8,
                                 self.system.n_atoms - 1)
             if self.cells:
                 nc1, nc2, nc3, ccap = self.cells
                 self.cells = (nc1, nc2, nc3, int(ccap * 1.5) + 4)
+            if self.react_cap:
+                self.react_cap = min(int(self.react_cap * 1.5) + 8,
+                                     self.system.n_atoms - 1)
             self.ms = integrators.initial_md_state(
                 self.ms.state, self.ms.topo, self.system, self.cbw,
-                self.capacity, self.cells)
+                self.capacity, self.cells, react_cap=self.react_cap)
             if self.capacity >= self.system.n_atoms - 1:
                 break
 

@@ -16,26 +16,6 @@ def one_hot_f(t, T, dtype):
     return (t[..., None] == jnp.arange(T, dtype=jnp.int32)).astype(dtype)
 
 
-def table_lookup(table, t):
-    """table[t] for an int index array t of any shape, via one-hot matmul.
-
-    table: (T,) or (T, C...).  Exact (one nonzero product per row)."""
-    T = table.shape[0]
-    squeeze = table.ndim == 1
-    flat = table.reshape(T, -1)                        # (T, C)
-    f = flat.astype(jnp.float32) if flat.dtype != jnp.float64 else flat
-    oh = one_hot_f(t.astype(jnp.int32).reshape(-1), T, f.dtype)
-    res = oh @ f                                       # (P, C) on the MXU
-    if jnp.issubdtype(table.dtype, jnp.integer):
-        res = jnp.round(res).astype(table.dtype)
-    elif table.dtype == jnp.bool_:
-        res = res > 0.5
-    else:
-        res = res.astype(table.dtype)
-    res = res.reshape(t.shape + (flat.shape[1],))
-    return res[..., 0] if squeeze else res
-
-
 def pair_lookup(table, ti, tj):
     """table[(ti, tj)] for broadcastable int index arrays ti, tj.
 

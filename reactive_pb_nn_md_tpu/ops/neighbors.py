@@ -118,24 +118,13 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
         fmask = (d2 < cutoff2) & (j_idx != i_idx) & (i_idx < N)
         hmask = fmask & (j_idx > i_idx)
 
-        def squeeze(mask, cap):
-            # first `cap` True columns in ascending order via top_k on a
-            # descending key (cheaper than a stable argsort over N)
-            n = mask.shape[1]
-            k = min(cap, n)
-            key = jnp.where(mask, n - jnp.arange(n, dtype=jnp.int32), 0)
-            vals = jax.lax.top_k(key, k)[0]
-            out = jnp.where(vals > 0, n - vals, -1).astype(jnp.int32)
-            if k < cap:
-                out = jnp.pad(out, ((0, 0), (0, cap - k)),
-                              constant_values=-1)
-            return out
-
-        out = (squeeze(hmask, capacity), squeeze(fmask, full_cap),
+        out = (first_true_columns(hmask, capacity),
+               first_true_columns(fmask, full_cap),
                jnp.sum(hmask, axis=1), jnp.sum(fmask, axis=1))
         if react_cap > 0:
             rmask = fmask & (d2 < react_cutoff * react_cutoff)
-            out += (squeeze(rmask, react_cap), jnp.sum(rmask, axis=1))
+            out += (first_true_columns(rmask, react_cap),
+                    jnp.sum(rmask, axis=1))
         return out
 
     res = jax.lax.map(one_chunk, jnp.arange(n_chunks))
@@ -154,18 +143,36 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
                         react_cap=react_cap)
 
 
-def _squeeze(mask, cap, idx_val):
-    """Compact True columns of a (R, C) mask into (R, cap) values, -1 pad
-    (first-k-true selection in column order, via top_k)."""
-    n = mask.shape[1]
+def first_true_columns(mask, cap, idx_val=None):
+    """Compact the first `cap` True columns of a (..., C) mask into
+    (..., cap) values, -1 padded (selection in column order, via top_k on
+    a descending key -- cheaper than a stable argsort over C).
+
+    idx_val: values to select (defaults to the column index itself).
+    The single implementation of this subtle kernel; used by the neighbor
+    builds and the diabat-candidate search."""
+    n = mask.shape[-1]
     k = min(cap, n)
     key = jnp.where(mask, n - jnp.arange(n, dtype=jnp.int32), 0)
     kvals, sel = jax.lax.top_k(key, k)
-    vals = jnp.take_along_axis(idx_val, sel, axis=1)
+    if idx_val is None:
+        vals = sel
+    else:
+        vals = jnp.take_along_axis(idx_val, sel, axis=-1)
     out = jnp.where(kvals > 0, vals, -1).astype(jnp.int32)
     if k < cap:
-        out = jnp.pad(out, ((0, 0), (0, cap - k)), constant_values=-1)
+        pad = [(0, 0)] * (out.ndim - 1) + [(0, cap - k)]
+        out = jnp.pad(out, pad, constant_values=-1)
     return out
+
+
+def _sort_rows_ascending(idx):
+    """Sort each row's valid entries ascending, -1 padding last.  Used for
+    the reactive adjacency from the cell build, whose stencil-order rows
+    would otherwise change the diabat discovery order vs the dense path."""
+    big = jnp.iinfo(jnp.int32).max
+    s = jnp.sort(jnp.where(idx >= 0, idx, big), axis=-1)
+    return jnp.where(s == big, -1, s)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "cells",
@@ -233,8 +240,8 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
     fmask = (cand < N) & (cand != i_idx) & (d2 < cutoff2)
     hmask = fmask & (cand > i_idx)
 
-    idx = _squeeze(hmask, capacity, cand)
-    full_idx = _squeeze(fmask, full_cap, cand)
+    idx = first_true_columns(hmask, capacity, cand)
+    full_idx = first_true_columns(fmask, full_cap, cand)
     overflow = (cell_over | box_bad
                 | jnp.any(jnp.sum(hmask, axis=1) > capacity)
                 | jnp.any(jnp.sum(fmask, axis=1) > full_cap))
@@ -242,7 +249,8 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
     react_cap = min(react_cap, N - 1)
     if react_cap > 0:
         rmask = fmask & (d2 < react_cutoff * react_cutoff)
-        react_idx = _squeeze(rmask, react_cap, cand)
+        react_idx = _sort_rows_ascending(
+            first_true_columns(rmask, react_cap, cand))
         overflow = overflow | jnp.any(jnp.sum(rmask, axis=1) > react_cap)
     return NeighborList(idx=idx, full_idx=full_idx, ref_x=x,
                         overflow=overflow, capacity=capacity, cells=cells,

@@ -171,3 +171,31 @@ def test_react_adjacency_enumeration_equivalence():
                                   np.asarray(rows.parent))
     np.testing.assert_array_equal(np.asarray(dense.hydronium_of),
                                   np.asarray(rows.hydronium_of))
+
+
+def test_cell_react_rows_sorted_and_match_dense():
+    """The reactive adjacency from the CELL build must have ascending-j
+    rows (-1 padding last) and the same row contents as the dense build --
+    the diabat discovery order depends on it."""
+    x, box = _random_box(400, 24.0, seed=5)
+    cap = neighbors.suggest_capacity(400, 24.0 ** 3, 6.0, safety=2.0)
+    rcut, rcap = 3.5, 24
+    dense = neighbors.build_neighbor_list(x, box, 6.0, cap,
+                                          react_cutoff=rcut, react_cap=rcap)
+    cells = neighbors.suggest_cells(400, np.asarray(box), 6.0, min_atoms=1)
+    cell = neighbors.build_neighbor_list_cell(x, box, 6.0, cap, cells,
+                                              react_cutoff=rcut,
+                                              react_cap=rcap)
+    assert not bool(dense.overflow) and not bool(cell.overflow)
+    d = np.asarray(dense.react_idx)
+    c = np.asarray(cell.react_idx)
+    for row_d, row_c in zip(d, c):
+        vd = row_d[row_d >= 0]
+        vc = row_c[row_c >= 0]
+        assert list(vc) == sorted(vc), "cell react row not ascending"
+        assert set(vd) == set(vc)
+        # padding strictly after the valid prefix
+        first_pad = len(vc)
+        assert np.all(row_c[first_pad:] == -1)
+    # dense rows are ascending by construction -> identical arrays
+    np.testing.assert_array_equal(d, c)

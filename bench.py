@@ -73,12 +73,76 @@ def run_bench(platform, precision, n_steps, warmup):
     assert math.isfinite(pot), "non-finite potential"
     assert not bool(diag.nbr_overflow.any()), "neighbor overflow"
     ms = ms.replace(n_states=diag.n_states[-1])
-    return done / dt, system, ms
+    return done / dt, system, ms, (scan, ms, chunk)
+
+
+def _device_ms_per_step(scan, ms, chunk):
+    """Aggregate device self-time of one warm scanned chunk from an xplane
+    trace (jax.profiler + the tensorboard xprof converter); None when the
+    profiling stack is unavailable.  This is the absolute-efficiency
+    denominator: wall - device = dispatch/host overhead."""
+    import glob
+    import tempfile
+    try:
+        import jax
+        d = tempfile.mkdtemp()
+        with jax.profiler.trace(d):
+            ms2, diag = scan(ms)
+            float(diag.potential[-1])
+        xp = glob.glob(d + "/**/*.xplane.pb", recursive=True)
+        if not xp:
+            return None
+        from xprof.convert import raw_to_tool_data as r2t
+        data, _ = r2t.xspace_to_tool_data([xp[0]], "hlo_stats", {})
+        if isinstance(data, bytes):
+            data = data.decode("utf-8", "replace")
+        tbl = json.loads(data)       # gviz table: {"cols": [...], "rows": [...]}
+        col = next(k for k, c in enumerate(tbl["cols"])
+                   if "self" in c.get("label", "").lower()
+                   and "us" in c.get("label", "").lower())
+        tot_us = 0.0
+        for row in tbl["rows"]:
+            v = row["c"][col].get("v")
+            if isinstance(v, (int, float)):
+                tot_us += v
+        return tot_us / 1000.0 / chunk
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def run_bench_10k(n_steps=8, warmup=2):
+    """Second tracked config: the 10^4-atom cell-list box (3332 waters +
+    hydronium, PME 64^3) -- VERDICT r1 item 6 asks for round-over-round
+    visibility of the large-system path."""
+    import jax
+    import __graft_entry__ as g
+    g._enable_compile_cache()
+    from reactive_pb_nn_md_tpu.md import integrators
+
+    system, cbw, cfg, ms = g._build(n_water=3332, pme_grid=64,
+                                    precision="fp32", evb_max_states=32)
+    chunk = max(1, min(n_steps, 4))
+
+    def scan(ms):
+        return integrators.md_scan(ms, system, cbw, cfg.delta_t, "NVE",
+                                   chunk)
+
+    for _ in range(max(1, warmup // chunk + 1)):
+        ms, diag = scan(ms)
+    float(diag.potential[-1])
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_steps:
+        ms, diag = scan(ms)
+        done += chunk
+    float(diag.potential[-1])
+    dt = time.perf_counter() - t0
+    return done / dt
 
 
 def main():
     if "--cpu-baseline" in sys.argv:
-        rate, _, _ = run_bench("cpu", "fp64", CPU_STEPS, 1)
+        rate, _, _, _ = run_bench("cpu", "fp64", CPU_STEPS, 1)
         print(f"CPU_BASELINE {rate:.6f}")
         return
 
@@ -95,11 +159,27 @@ def main():
         print(f"# cpu baseline failed: {e}", file=sys.stderr)
 
     # target device (default platform = the TPU under axon), fp32
-    rate, system, ms = run_bench(None, "fp32", STEPS, WARMUP)
+    rate, system, ms, (scan, ms_w, chunk) = run_bench(None, "fp32", STEPS,
+                                                      WARMUP)
+    dev_ms = _device_ms_per_step(scan, ms_w, chunk)
+    wall_ms = 1000.0 / rate
+
+    rate_10k = None
+    if "--skip-10k" not in sys.argv:
+        try:
+            rate_10k = run_bench_10k()
+        except Exception as e:  # noqa: BLE001
+            print(f"# 10k config failed: {e}", file=sys.stderr)
 
     import jax
     dev = str(jax.devices()[0])
     vs = rate / cpu_rate if cpu_rate else 1.0
+    extra = {"wall_ms_per_step": round(wall_ms, 3)}
+    if dev_ms is not None:
+        extra["device_ms_per_step"] = round(dev_ms, 3)
+        extra["device_duty_cycle"] = round(dev_ms / wall_ms, 3)
+    if rate_10k is not None:
+        extra["steps_per_s_10k_atoms"] = round(rate_10k, 2)
     print(json.dumps({
         "metric": f"MS-EVB reactive MD steps/s ({system.n_atoms} atoms, "
                   f"216 molecules, PME {PME_GRID}^3, "
@@ -107,6 +187,7 @@ def main():
         "value": round(rate, 3),
         "unit": "steps/s",
         "vs_baseline": round(vs, 2),
+        "extra": extra,
     }))
 
 

@@ -76,21 +76,40 @@ def hbond_network(x, box, topo: Topology, system: System,
     return n_accept, n_donate
 
 
-def diabat_report(dset, eigenvector, n_states):
-    """Rows of (state, hydronium molecule, c_i^2, solvation shell)."""
+def diabat_report(hydronium_of, n_hops, eigenvector, n_states):
+    """Rows of (state, hydronium molecule, c_i^2, solvation shell).
+
+    Accepts the per-state arrays directly (they are carried in MDState so
+    the driver can print the reference's per-diabat block,
+    print_evb_trajectory_data ms_evb.f90:3128-3162, without re-running the
+    enumeration)."""
     rows = []
     c = np.asarray(eigenvector)
+    hyd = np.asarray(hydronium_of)
+    nh = np.asarray(n_hops)
     for s in range(int(n_states)):
-        rows.append((s + 1, int(dset.hydronium_of[s]) + 1,
-                     float(c[s] ** 2), int(dset.n_hops[s])))
+        rows.append((s + 1, int(hyd[s]) + 1, float(c[s] ** 2), int(nh[s])))
     return rows
 
 
-def zundel_diagnostics(x, box, topo_d, system, donor_mol, acceptor_mol):
+def format_diabat_report(step, rows):
+    """The reference's per-output-step EVB block (ms_evb.f90:3128-3162):
+    diabat count then one row per diabat."""
+    lines = [f" i_step {step} number of diabats {len(rows)}"]
+    for s, hyd_mol, ci2, shell in rows:
+        lines.append(f"  diabat {s:3d} hydronium_molecule {hyd_mol:6d} "
+                     f"ci^2 {ci2:10.6f} solvation_shell {shell:2d}")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def zundel_diagnostics(x, box, topo_d, system, donor_mol, acceptor_mol,
+                       proton_atom):
     """Geometric factor A and the donor/acceptor coordinates for one diabat
     (the debug=2 A-file content, ms_evb.f90:1079-1081 + write_geometry).
 
-    topo_d must be the diabat's topology (acceptor protonated)."""
+    topo_d must be the diabat's topology (acceptor protonated);
+    proton_atom is the transferred proton's global index from the hop log."""
     import numpy as np
     from ..models import coupling as cpl
     mt = system.mt
@@ -100,7 +119,7 @@ def zundel_diagnostics(x, box, topo_d, system, donor_mol, acceptor_mol):
     a_mtype = int(topo_d.mol_mtype[a])
     d_heavy = int(topo_d.mol_atoms[d, max(int(mt.heavy_slot[d_mtype]), 0)])
     a_heavy = int(topo_d.mol_atoms[a, max(int(mt.heavy_slot[a_mtype]), 0)])
-    proton = int(topo_d.mol_atoms[a, int(topo_d.mol_natom[a]) - 1])
+    proton = int(proton_atom)
 
     r_o1 = x[d_heavy]
     r_o2 = r_o1 + pbc.min_image(x[a_heavy] - r_o1, box)

@@ -67,7 +67,7 @@ def molecule_com(x, topo: Topology, mass, box=None):
 
 
 def enumerate_diabats(x, box, topo: Topology, system: System,
-                      full_idx=None) -> DiabatSet:
+                      full_idx=None, com=None) -> DiabatSet:
     """Level-synchronous BFS over proton-hop chains.
 
     TPU-shaped: evb_max_chain (3) batched expansion rounds, each expanding
@@ -92,7 +92,9 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
     A = system.max_atoms_per_mol
     mt = system.mt
 
-    com = molecule_com(x, topo, system.mass, box)         # (M, 3)
+    if com is None:
+        com = molecule_com(x, topo, system.mass, box)     # (M, 3)
+    com = jax.lax.stop_gradient(com)
     base_atom = mt.reactive_bases[topo.mol_mtype[topo.atom_mol],
                                   topo.atom_slot] > 0     # (N,)
     principle_h = topo.hydronium_mol

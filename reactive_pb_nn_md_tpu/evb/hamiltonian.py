@@ -160,22 +160,23 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
         jnp.arange(U, dtype=jnp.int32))[:N]
 
     # ---------------- state-independent pair data over U's neighbor rows.
-    # The four x-independent j-side per-atom values are packed into one
-    # (N, 4) array -> ONE row gather instead of four (TPU gather cost is
-    # per-row; same trick as models/total.realspace_inter)
+    # Positions and the four x-independent j-side per-atom values are
+    # packed into one (N, 7) array -> ONE row gather for the whole sweep
+    # (TPU gather cost is per-row; same trick as total.realspace_inter)
     rows = full_idx[ua]                                    # (U, Kf)
     rmask = ua_mask[:, None] & (rows >= 0)
     j = jnp.maximum(rows, 0)
-    packed = jnp.stack([base_charge.astype(f),
-                        topo0.atom_type.astype(f),
-                        topo0.atom_mol.astype(f),
-                        pos_in_U.astype(f)], axis=1)       # (N, 4)
-    pj = packed[j]                                         # (U, Kf, 4)
-    qj0 = pj[..., 0]
-    t0j = jnp.round(pj[..., 1]).astype(jnp.int32)
-    mol_j0 = pj[..., 2]
-    jU = jnp.round(pj[..., 3]).astype(jnp.int32)           # (U, Kf)
-    dr = pbc.min_image(x[ua][:, None, :] - x[j], box)
+    packed = jnp.concatenate(
+        [x, jnp.stack([base_charge.astype(f),
+                       topo0.atom_type.astype(f),
+                       topo0.atom_mol.astype(f),
+                       pos_in_U.astype(f)], axis=1)], axis=1)   # (N, 7)
+    pj = packed[j]                                         # (U, Kf, 7)
+    qj0 = pj[..., 3]
+    t0j = jnp.round(pj[..., 4]).astype(jnp.int32)
+    mol_j0 = pj[..., 5]
+    jU = jnp.round(pj[..., 6]).astype(jnp.int32)           # (U, Kf)
+    dr = pbc.min_image(x[ua][:, None, :] - pj[..., 0:3], box)
     r2 = jnp.sum(dr * dr, -1)
     within = rmask & (r2 < system.real_space_cutoff ** 2)
     r2s = jnp.where(within, r2, 1.0)
@@ -303,29 +304,67 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     return diag, bd0, e_recip
 
 
-def coupling_elements(x, box, batch: DiabatBatch, system: System):
-    """H_{parent(d), d} for every non-principle state d."""
+def coupling_elements(x, box, batch: DiabatBatch, system: System, com0):
+    """H_{parent(d), d} for every non-principle state d.
+
+    com0 is the principle-topology per-molecule COM (computed once per
+    step).  A diabat's COMs differ from com0 only for its chain molecules
+    (proton membership moved within the chain), so each state patches at
+    most 2*C rows via a tiny (2C, A) gather instead of recomputing the
+    full (M, A) mass-weighted reduction per state (round-1 profile:
+    molecule_com was ~0.22 ms/call, and the old path ran it per state
+    under the vmap)."""
     dset = batch.dset
     S = system.evb_max_states
     sidx = jnp.arange(S)
     active = (sidx < dset.n_states) & (sidx > 0)
+    from .enumerate import molecule_com
 
     def one(topo_d, hop_log_s, n_hops_s, act):
         last = jnp.maximum(n_hops_s - 1, 0)
         donor = hop_log_s[last, 0]
         acceptor = hop_log_s[last, 3]
+        proton = hop_log_s[last, 1]
+
+        # patch the chain molecules' COM rows in this diabat's topology
+        mols = jnp.concatenate([hop_log_s[:, 0], hop_log_s[:, 3]])  # (2C,)
+        mvalid = mols >= 0
+        eq = mols[:, None] == mols[None, :]
+        seen = jnp.any(jnp.tril(eq, -1) & mvalid[None, :], axis=1)
+        mvalid = mvalid & ~seen
+        sub = _sub_topology(topo_d, mols)
+        com_chain = molecule_com(x, sub, system.mass, box)          # (2C, 3)
+        msafe = jnp.maximum(mols, 0)
+        delta = jnp.where(mvalid[:, None], com_chain - com0[msafe], 0.0)
+        com_s = com0.at[msafe].add(delta)
+
         return coupling.coupling_element(x, box, topo_d, system,
-                                         donor, acceptor, act)
+                                         donor, acceptor, proton, act,
+                                         com_s)
 
     return jax.vmap(one)(batch.topo, dset.hop_log, dset.n_hops, active)
 
 
+def _sub_topology(topo_d, mols):
+    """A tiny Topology view holding only `mols` rows of the molecule
+    tables (for molecule_com on a molecule subset)."""
+    msafe = jnp.maximum(mols, 0)
+    return topo_d.replace(mol_mtype=topo_d.mol_mtype[msafe],
+                          mol_natom=topo_d.mol_natom[msafe],
+                          mol_atoms=topo_d.mol_atoms[msafe])
+
+
 def assemble_hamiltonian(x, box, batch: DiabatBatch, system: System,
-                         pairs, cbw, base_charge, topo0, full_idx):
+                         pairs, cbw, base_charge, topo0, full_idx,
+                         com0=None):
     S = system.evb_max_states
     dset = batch.dset
     sidx = jnp.arange(S)
     active = sidx < dset.n_states
+
+    if com0 is None:
+        from .enumerate import molecule_com
+        com0 = molecule_com(x, topo0, system.mass, box)
 
     diag, bd0, e_recip = diabat_diagonal_energies(
         x, box, batch, system, pairs, cbw, base_charge, topo0, full_idx)
@@ -333,7 +372,7 @@ def assemble_hamiltonian(x, box, batch: DiabatBatch, system: System,
     # decomposition (E_elec includes recip+self, reference print_step)
     bds = bd0.replace(elec=bd0.elec + e_recip[0],
                       total=bd0.total + e_recip[0])
-    offdiag = coupling_elements(x, box, batch, system)
+    offdiag = coupling_elements(x, box, batch, system, com0)
 
     # park inactive states far above, with distinct values (degenerate
     # eigenvalues would break nothing here -- c comes from the active block
@@ -359,16 +398,20 @@ class EvbResult:
     hamiltonian: jnp.ndarray       # (S, S)
     breakdown: total_mod.EnergyBreakdown   # principle-diabat decomposition
     overflow: jnp.ndarray
+    hydronium_of: jnp.ndarray      # (S,) acid molecule of each diabat
+    n_hops_of: jnp.ndarray         # (S,) chain length (solvation shell)
 
 
 def adiabatic_energy_force(x, box, topo: Topology, system: System,
                            pairs, cbw, full_idx=None,
-                           react_idx=None) -> tuple:
+                           react_idx=None, com=None) -> tuple:
     """Full MS-EVB force/energy evaluation; returns (EvbResult, DiabatBatch).
 
     react_idx: optional short-cutoff adjacency (nlist.react_idx) -- the
     narrowest rows that still cover evb_reactive_pair_distance; used for
-    the hop-candidate search only."""
+    the hop-candidate search only.
+    com: optional precomputed per-molecule COM of (x, topo); every use is
+    under stop_gradient (candidate cutoffs, PBC shift conventions)."""
     if full_idx is None:
         # derive a full adjacency from the half pair list is not possible
         # here; callers on the hot path pass nlist.full_idx.  Fallback:
@@ -377,9 +420,13 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
         full_idx = jnp.where(
             jnp.eye(N, dtype=bool), -1,
             jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (N, N)))
+    from .enumerate import molecule_com
+    if com is None:
+        com = molecule_com(x, topo, system.mass, box)
+    com = jax.lax.stop_gradient(com)
     dset = enumerate_diabats(
         x, box, topo, system,
-        full_idx=react_idx if react_idx is not None else full_idx)
+        full_idx=react_idx if react_idx is not None else full_idx, com=com)
     batch = build_diabat_topologies(topo, dset, system)
     base_charge = topo.charge
 
@@ -387,7 +434,8 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
 
     def etot(xx):
         H, bds, _ = assemble_hamiltonian(xx, box, batch, system, pairs, cbw,
-                                         base_charge, topo, full_idx)
+                                         base_charge, topo, full_idx,
+                                         com0=com)
         Hs = jax.lax.stop_gradient(H)
         if system.eigensolver == "iterative":
             _, c = gs.ground_state(Hs)
@@ -404,5 +452,6 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
     result = EvbResult(
         energy=energy, force=-grad, eigenvector=c, n_states=dset.n_states,
         principle=principle.astype(jnp.int32), new_hydronium=new_h,
-        hamiltonian=H, breakdown=bds, overflow=dset.overflow)
+        hamiltonian=H, breakdown=bds, overflow=dset.overflow,
+        hydronium_of=dset.hydronium_of, n_hops_of=dset.n_hops)
     return result, batch

@@ -28,6 +28,34 @@ def _scatter_update(arr, idx, new_vals, mask):
     return arr.at[idx].add(delta)
 
 
+def _reorder_to_template(atoms, types, template):
+    """Greedy stable match of a molecule's slot list to a type template
+    (reorder_molecule_data_structures, ms_evb.f90:941-1006): for each
+    template slot i whose current type mismatches, rotate in the first
+    later slot with the right type.  Applied to BOTH the acceptor (which
+    gains the proton at its last slot) and the donor (which loses a proton
+    from an arbitrary slot -- the reference avoids the donor case by
+    REQUIRING acidic protons last, ms_evb.f90:144-167; this engine
+    supports any template slot order)."""
+    A = atoms.shape[0]
+    slots = jnp.arange(A, dtype=jnp.int32)
+
+    def body(i, carry):
+        atoms, types = carry
+        need = (template[i] >= 0) & (types[i] != template[i])
+        cand = (slots > i) & (types == template[i])
+        j = jnp.argmax(cand).astype(jnp.int32)
+        do = need & jnp.any(cand)
+        src = jnp.where(slots == i, j,
+                        jnp.where((slots > i) & (slots <= j), slots - 1,
+                                  slots))
+        atoms = jnp.where(do, atoms[src], atoms)
+        types = jnp.where(do, types[src], types)
+        return atoms, types
+
+    return jax.lax.fori_loop(0, A, body, (atoms, types))
+
+
 def apply_hop(topo: Topology, hop, system: System) -> Topology:
     """Apply one proton transfer.
 
@@ -45,18 +73,24 @@ def apply_hop(topo: Topology, hop, system: System) -> Topology:
     d_atoms = topo.mol_atoms[d]
     shifted = jnp.roll(d_atoms, -1).at[A - 1].set(-1)
     d_atoms_new = jnp.where(slots < s_p, d_atoms, shifted)
+
+    # donor retypes to its conjugate base (ms_evb.f90:908-915), then its
+    # slots are matched to the base template (a no-op for protons-last
+    # templates; required for arbitrary slot orders)
+    d_base_type = mt.conjugate_mtype[topo.mol_mtype[d]]
+    t_new_d = jnp.where(
+        d_atoms_new >= 0,
+        evb.conjugate_atype[topo.atom_type[jnp.maximum(d_atoms_new, 0)]], -1)
+    d_atoms_new, t_new_d = _reorder_to_template(d_atoms_new, t_new_d,
+                                                mt.atype[d_base_type])
     d_mask = d_atoms_new >= 0
     d_idx = jnp.maximum(d_atoms_new, 0)
-
-    # donor retypes to its conjugate base (ms_evb.f90:908-915)
-    t_old_d = topo.atom_type[d_idx]
-    t_new_d = evb.conjugate_atype[t_old_d]
     atom_type = _scatter_update(topo.atom_type, d_idx, t_new_d, d_mask)
-    charge = _scatter_update(topo.charge, d_idx,
-                             ff.charge_by_type[t_new_d], d_mask)
+    charge = _scatter_update(
+        topo.charge, d_idx, ff.charge_by_type[jnp.maximum(t_new_d, 0)],
+        d_mask)
     atom_slot = _scatter_update(topo.atom_slot, d_idx, slots, d_mask)
 
-    d_base_type = mt.conjugate_mtype[topo.mol_mtype[d]]
     mol_mtype = topo.mol_mtype.at[d].set(d_base_type)
     mol_natom = topo.mol_natom.at[d].add(-1)
     mol_atoms = topo.mol_atoms.at[d].set(d_atoms_new)
@@ -75,28 +109,11 @@ def apply_hop(topo: Topology, hop, system: System) -> Topology:
     t_new_a = jnp.where(a_atoms == proton, mt.proton_atype[acid_t], t_new_a)
     # the protonated heavy atom takes the acid's heavy type (ms_evb.f90:903-905)
     t_new_a = jnp.where(a_atoms == heavy_a, mt.heavy_atype[acid_t], t_new_a)
+    t_new_a = jnp.where(a_atoms >= 0, t_new_a, -1)   # padded slots inert
 
     # ---------- reorder acceptor slots to the acid template
-    # greedy stable match (reorder_molecule_data_structures): for each
-    # template slot i, if the current type mismatches, rotate in the first
-    # later slot with the right type.
-    template = mt.atype[acid_t]                            # (A,)
-
-    def reorder_body(i, carry):
-        atoms, types = carry
-        need = (template[i] >= 0) & (types[i] != template[i])
-        cand = (slots > i) & (types == template[i])
-        j = jnp.argmax(cand)                               # first match
-        do = need & jnp.any(cand)
-        src = jnp.where(slots == i, j,
-                        jnp.where((slots > i) & (slots <= j), slots - 1,
-                                  slots))
-        atoms = jnp.where(do, atoms[src], atoms)
-        types = jnp.where(do, types[src], types)
-        return atoms, types
-
-    a_atoms, t_new_a = jax.lax.fori_loop(
-        0, A, reorder_body, (a_atoms, t_new_a))
+    a_atoms, t_new_a = _reorder_to_template(a_atoms, t_new_a,
+                                            mt.atype[acid_t])
     a_mask = a_atoms >= 0
     a_idx = jnp.maximum(a_atoms, 0)
 
@@ -222,9 +239,12 @@ def build_diabat_topologies(topo: Topology, dset: DiabatSet,
             dtypes_n = jnp.where(datoms_n >= 0,
                                  evb.conjugate_atype[jnp.maximum(dtypes_n, 0)],
                                  -1)
+            d_base = mt.conjugate_mtype[cmt[d_row]]
+            datoms_n, dtypes_n = _reorder_to_template(datoms_n, dtypes_n,
+                                                      mt.atype[d_base])
             catoms = catoms.at[d_row].set(datoms_n)
             ctype = ctype.at[d_row].set(dtypes_n)
-            cmt = cmt.at[d_row].set(mt.conjugate_mtype[cmt[d_row]])
+            cmt = cmt.at[d_row].set(d_base)
             cnat = cnat.at[d_row].add(-1)
 
             # ---- acceptor gains the proton at its last slot + conjugates
@@ -241,23 +261,8 @@ def build_diabat_topologies(topo: Topology, dset: DiabatSet,
 
             # ---- reorder acceptor slots to the acid template (greedy
             # stable match, identical to apply_hop)
-            template = mt.atype[acid_t]
-
-            def reorder_body(k, carry):
-                atoms, types = carry
-                need = (template[k] >= 0) & (types[k] != template[k])
-                cand = (slots > k) & (types == template[k])
-                j = jnp.argmax(cand).astype(jnp.int32)
-                do = need & jnp.any(cand)
-                src = jnp.where(slots == k, j,
-                                jnp.where((slots > k) & (slots <= j),
-                                          slots - 1, slots))
-                atoms = jnp.where(do, atoms[src], atoms)
-                types = jnp.where(do, types[src], types)
-                return atoms, types
-
-            aatoms, atypes = jax.lax.fori_loop(0, A, reorder_body,
-                                               (aatoms, atypes))
+            aatoms, atypes = _reorder_to_template(aatoms, atypes,
+                                                  mt.atype[acid_t])
             catoms = catoms.at[a_row].set(aatoms)
             ctype = ctype.at[a_row].set(atypes)
             cmt = cmt.at[a_row].set(acid_t)

@@ -111,3 +111,74 @@ def format_gro_frame(title, mol_names, mol_natom, atom_names, xyz, box,
     else:
         out.append(f"  {b[0, 0]:10.5f}  {b[1, 1]:10.5f}  {b[2, 2]:10.5f}")
     return "\n".join(out) + "\n"
+
+
+def read_last_gro_frame(path) -> GroFrame:
+    """Last frame of a multi-frame .gro trajectory (the reference restarts
+    from the trajectory tail, scan_grofile_restart
+    general_routines.f90:120-142).  The frame title carries the step number
+    ('step N')."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    i, last = 0, None
+    while i + 1 < len(lines):
+        try:
+            n = int(lines[i + 1].split()[0])
+        except (ValueError, IndexError):
+            break
+        end = i + 3 + n
+        if end > len(lines):
+            break
+        last = lines[i:end]
+        i = end
+    if last is None:
+        raise ValueError(f"no complete frame found in trajectory {path}")
+    return read_gro(last)
+
+
+def frame_step(frame: GroFrame) -> int:
+    """Step number from a trajectory frame title ('step N')."""
+    parts = frame.title.split()
+    if len(parts) >= 2 and parts[0] == "step":
+        return int(parts[1])
+    return 0
+
+
+def format_velocity_checkpoint(step, mol_names, mol_natom, atom_names,
+                               velocities) -> str:
+    """One appended block of the reference's TEXT velocity checkpoint
+    (print_velocities_checkpoint, general_routines.f90:997-1026): a
+    'step  N' line followed by per-atom records in molecule order,
+    format (I5,2A5,I5,3F14.6), velocities in internal units (A/ps)."""
+    out = [f"step  {step}"]
+    i = 0
+    for m, (mname, na) in enumerate(zip(mol_names, mol_natom)):
+        for a in range(int(na)):
+            vx, vy, vz = velocities[i]
+            out.append(f"{(m + 1) % 100000:5d}{mname:<5.5s}"
+                       f"{atom_names[i]:<5.5s}{a + 1:5d}"
+                       f"{vx:14.6f}{vy:14.6f}{vz:14.6f}")
+            i += 1
+    return "\n".join(out) + "\n"
+
+
+def read_velocity_checkpoint(path):
+    """Last block of a reference-format text velocity checkpoint.
+
+    Returns (step, velocities (N, 3) in A/ps) -- the semantics of
+    read_velocity_restart_checkpoint (general_routines.f90:147-178)."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    starts = [k for k, ln in enumerate(lines) if ln.split()[:1] == ["step"]]
+    if not starts:
+        raise ValueError(f"no 'step' block in velocity checkpoint {path}")
+    k0 = starts[-1]
+    step = int(lines[k0].split()[1])
+    vel = []
+    for ln in lines[k0 + 1:]:
+        if ln.split()[:1] == ["step"] or not ln.strip():
+            break
+        # fixed-width (I5,2A5,I5,3F14.6)
+        rest = ln[20:]
+        vel.append([float(rest[c * 14:(c + 1) * 14]) for c in range(3)])
+    return step, np.asarray(vel, dtype=np.float64)

@@ -47,6 +47,11 @@ class SimConfig:
     # TPU-native extensions
     precision: str = "fp32"              # fp32 | fp64 | mixed
     evb_max_states: int = 80
+    # growth ceiling for the driver's automatic evb_max_states regrow on
+    # diabat overflow (the reference hard-stops at its compile-time cap,
+    # ms_evb.f90:3107-3123; here the cap regrows like neighbor capacity
+    # and only the ceiling aborts).  Defaults to max(80, evb_max_states).
+    evb_hard_max_states: int = None
     evb_max_chain: int = 3
     evb_max_neighbors: int = 10
     seed: int = 0
@@ -73,6 +78,10 @@ class SimConfig:
             raise ValueError("spline_order must be 4 or 6")
         if self.eigensolver not in ("eigh", "iterative"):
             raise ValueError("eigensolver must be 'eigh' or 'iterative'")
+        if self.evb_hard_max_states is None:
+            self.evb_hard_max_states = max(80, self.evb_max_states)
+        if self.evb_hard_max_states < self.evb_max_states:
+            raise ValueError("evb_hard_max_states must be >= evb_max_states")
         return self
 
 
@@ -88,13 +97,17 @@ _BOOL_STRING_KEYS = {
 _INT_KEYS = {"n_step", "n_output", "n_exclusions", "checkpoint_velocity",
              "barofreq", "na_nslist", "nb_nslist", "nc_nslist", "pme_grid",
              "spline_order", "n_threads", "debug", "evb_max_states",
-             "evb_max_chain", "evb_max_neighbors", "seed"}
+             "evb_hard_max_states", "evb_max_chain", "evb_max_neighbors",
+             "seed"}
 _FLOAT_KEYS = {"temperature", "initial_temp", "friction_coeff", "pressure",
                "baroscale", "delta_t", "real_space_cutoff", "verlet_cutoff",
                "alpha_sqrt"}
+# section headers and other non-key lines that are part of the format
+_IGNORED_FIRST_TOKENS = {"simulation"}
 
 
 def read_sim_params(path) -> SimConfig:
+    import warnings
     cfg = SimConfig()
     with open(path) as f:
         lines = f.read().splitlines()
@@ -117,5 +130,11 @@ def read_sim_params(path) -> SimConfig:
             setattr(cfg, key, int(round(float(val))))
         elif key in _FLOAT_KEYS:
             setattr(cfg, key, float(val))
+        elif key.lower() not in _IGNORED_FIRST_TOKENS:
+            # a typo'd key silently running at its default is worse than
+            # noise (the reference hard-stops only on MISSING keys;
+            # read_simulation_parameters.f90:156-187)
+            warnings.warn(f"unrecognized simulation parameter "
+                          f"'{key}' ignored", stacklevel=2)
 
     return cfg.validate()

@@ -60,25 +60,27 @@ class MCBarostat:
                                        system.verlet_cutoff)
 
         state_new = ms.state.replace(x=x_new, box=new_box)
-        (pot, bd, force, new_topo, n_states, eigvec, hopped, evb_over) = \
-            integrators.evaluate_forces(x_new, new_box, ms.topo, system,
-                                        nlist, new_cbw)
+        fe = integrators.evaluate_forces(x_new, new_box, ms.topo, system,
+                                         nlist, new_cbw)
 
         kT = KB * self.temperature
-        dE = float(pot) - float(ms.potential)
+        dE = float(fe.potential) - float(ms.potential)
         pV = CONV_BAR_KJMOLA3 * self.pressure * (newL ** 3 - L ** 3)
         S = system.n_mole * kT * 3.0 * np.log(scale)
         w = dE + pV - S
-        if bool(hopped):
+        if bool(fe.hopped):
             w = -1.0     # force acceptance across a proton hop
 
         accept = w < 0 or self.rng.uniform() <= np.exp(-w / kT)
         if accept:
             self.n_accept += 1
-            ms = ms.replace(state=state_new, topo=new_topo, nlist=nlist,
-                            force=force, potential=pot, breakdown=bd,
-                            n_states=n_states, eigenvector=eigvec,
-                            hopped=hopped, evb_overflow=evb_over)
+            ms = ms.replace(state=state_new, topo=fe.topo, nlist=nlist,
+                            force=fe.force, potential=fe.potential,
+                            breakdown=fe.breakdown, n_states=fe.n_states,
+                            eigenvector=fe.eigenvector, hopped=fe.hopped,
+                            evb_overflow=fe.evb_overflow,
+                            hydronium_of=fe.hydronium_of,
+                            n_hops_of=fe.n_hops_of)
             cbw = new_cbw
 
         if self.n_trials > 10:

@@ -44,16 +44,24 @@ class MDState:
     # () bool: diabat enumeration hit evb_max_states (truncated state set,
     # the analog of the reference's hard stop at ms_evb.f90:3107-3123)
     evb_overflow: jnp.ndarray
+    # per-diabat observability (print_evb_trajectory_data,
+    # ms_evb.f90:3128-3162): acid molecule and solvation shell (hop count)
+    # of every state in the set the eigenvector refers to
+    hydronium_of: jnp.ndarray     # (S,) int32
+    n_hops_of: jnp.ndarray        # (S,) int32
 
 
 def wrap_molecules(x, box, topo: Topology, mass):
     """Translate whole molecules back into the box by their COM
-    (shift_molecules_into_box)."""
+    (shift_molecules_into_box).  Returns (wrapped x, wrapped com): the
+    per-molecule COM is needed again by the EVB layer (enumeration COM
+    cutoff, Zundel PBC convention) -- computing it once per step removes
+    the repeated (M, A) gathers the round-1 profile flagged."""
     from ..evb.enumerate import molecule_com
     com = molecule_com(x, topo, mass, box)
     frac = pbc.xyz_to_frac(com, box)
     shift = jax.lax.stop_gradient(jnp.floor(frac)) @ box    # (M, 3)
-    return x - shift[topo.atom_mol]
+    return x - shift[topo.atom_mol], com - shift
 
 
 def langevin_half_kick(v, f, mass_col, key, dt, friction, temperature):
@@ -70,26 +78,52 @@ def langevin_half_kick(v, f, mass_col, key, dt, friction, temperature):
             * g)
 
 
-def evaluate_forces(x, box, topo, system: System, nlist, cbw):
+@struct.dataclass
+class ForceEval:
+    """Result of one reactive / non-reactive force evaluation."""
+    potential: jnp.ndarray
+    breakdown: total_mod.EnergyBreakdown
+    force: jnp.ndarray
+    topo: Topology                # post-hop topology (unchanged if no hop)
+    n_states: jnp.ndarray
+    eigenvector: jnp.ndarray
+    hopped: jnp.ndarray
+    evb_overflow: jnp.ndarray
+    hydronium_of: jnp.ndarray     # (S,) int32
+    n_hops_of: jnp.ndarray        # (S,) int32
+
+
+def evaluate_forces(x, box, topo, system: System, nlist, cbw,
+                    com=None) -> ForceEval:
     """Dispatch reactive / non-reactive force evaluation.
 
-    Returns (potential, breakdown, force, new_topo, diagnostics)."""
+    com: optional precomputed per-molecule COM of (x, topo) -- threads the
+    integrator's wrap_molecules COM into the EVB layer."""
     pairs = neighbors.neighbor_pairs(nlist)
     S = system.evb_max_states
     if system.ms_evb:
         res, batch = ham.adiabatic_energy_force(x, box, topo, system, pairs,
                                                 cbw, full_idx=nlist.full_idx,
-                                                react_idx=nlist.react_idx)
+                                                react_idx=nlist.react_idx,
+                                                com=com)
         new_topo = jax.tree_util.tree_map(
             lambda a: a[res.principle], batch.topo)
         hopped = res.new_hydronium != topo.hydronium_mol
-        return (res.energy, res.breakdown, res.force, new_topo,
-                res.n_states, res.eigenvector, hopped, res.overflow)
+        return ForceEval(potential=res.energy, breakdown=res.breakdown,
+                         force=res.force, topo=new_topo,
+                         n_states=res.n_states, eigenvector=res.eigenvector,
+                         hopped=hopped, evb_overflow=res.overflow,
+                         hydronium_of=res.hydronium_of,
+                         n_hops_of=res.n_hops_of)
     bd, force = total_mod.total_energy_and_forces(x, box, topo, system,
                                                   pairs, cbw)
-    return (bd.total, bd, force, topo, jnp.asarray(1, jnp.int32),
-            jnp.zeros((S,), x.dtype), jnp.asarray(False),
-            jnp.asarray(False))
+    return ForceEval(potential=bd.total, breakdown=bd, force=force, topo=topo,
+                     n_states=jnp.asarray(1, jnp.int32),
+                     eigenvector=jnp.zeros((S,), x.dtype),
+                     hopped=jnp.asarray(False),
+                     evb_overflow=jnp.asarray(False),
+                     hydronium_of=jnp.full((S,), -1, jnp.int32),
+                     n_hops_of=jnp.zeros((S,), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("ensemble",))
@@ -110,7 +144,7 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
     # first half kick + drift
     v = jnp.where(mobile, kick(state.v, ms.force, k1), state.v)
     x = jnp.where(mobile, state.x + v * dt, state.x)
-    x = wrap_molecules(x, state.box, topo, system.mass)
+    x, com = wrap_molecules(x, state.box, topo, system.mass)
 
     # neighbor rebuild when displacements exceed the skin
     skin = system.verlet_cutoff - system.real_space_cutoff
@@ -121,8 +155,8 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
                                        system.verlet_cutoff),
         lambda: ms.nlist)
 
-    (pot, bd, force, new_topo, n_states, eigvec, hopped,
-     evb_over) = evaluate_forces(x, state.box, topo, system, nlist, cbw)
+    fe = evaluate_forces(x, state.box, topo, system, nlist, cbw, com=com)
+    force = fe.force
 
     # second half kick with new forces
     v = jnp.where(mobile, kick(v, force, k2), v)
@@ -131,11 +165,12 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
 
     ke = velocities.kinetic_energy(v, system.mass)
     new_state = State(x=x, v=v, box=state.box, key=key, step=state.step + 1)
-    return MDState(state=new_state, topo=new_topo, nlist=nlist, force=force,
-                   potential=pot, breakdown=bd, kinetic=ke,
-                   n_states=n_states, eigenvector=eigvec, hopped=hopped,
-                   force_overflow=force_overflow,
-                   nbr_overflow=nlist.overflow, evb_overflow=evb_over)
+    return MDState(state=new_state, topo=fe.topo, nlist=nlist, force=force,
+                   potential=fe.potential, breakdown=fe.breakdown, kinetic=ke,
+                   n_states=fe.n_states, eigenvector=fe.eigenvector,
+                   hopped=fe.hopped, force_overflow=force_overflow,
+                   nbr_overflow=nlist.overflow, evb_overflow=fe.evb_overflow,
+                   hydronium_of=fe.hydronium_of, n_hops_of=fe.n_hops_of)
 
 
 @struct.dataclass
@@ -205,12 +240,11 @@ def initial_md_state(state: State, topo: Topology, system: System, cbw,
                                       system.verlet_cutoff, capacity, cells,
                                       react_cutoff=react_cutoff,
                                       react_cap=react_cap)
-    (pot, bd, force, new_topo, n_states, eigvec, hopped,
-     evb_over) = evaluate_forces(state.x, state.box, topo, system, nlist,
-                                 cbw)
+    fe = evaluate_forces(state.x, state.box, topo, system, nlist, cbw)
     ke = velocities.kinetic_energy(state.v, system.mass)
-    return MDState(state=state, topo=new_topo, nlist=nlist, force=force,
-                   potential=pot, breakdown=bd, kinetic=ke,
-                   n_states=n_states, eigenvector=eigvec, hopped=hopped,
-                   force_overflow=jnp.asarray(False),
-                   nbr_overflow=nlist.overflow, evb_overflow=evb_over)
+    return MDState(state=state, topo=fe.topo, nlist=nlist, force=fe.force,
+                   potential=fe.potential, breakdown=fe.breakdown, kinetic=ke,
+                   n_states=fe.n_states, eigenvector=fe.eigenvector,
+                   hopped=fe.hopped, force_overflow=jnp.asarray(False),
+                   nbr_overflow=nlist.overflow, evb_overflow=fe.evb_overflow,
+                   hydronium_of=fe.hydronium_of, n_hops_of=fe.n_hops_of)

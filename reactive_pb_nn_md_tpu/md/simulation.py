@@ -18,7 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..io.gro import read_gro, format_gro_frame, GroFrame
+from ..io.gro import (read_gro, format_gro_frame, GroFrame,
+                      read_last_gro_frame, frame_step,
+                      format_velocity_checkpoint, read_velocity_checkpoint)
 from ..io.ffpmt import read_ffpmt
 from ..io.topfile import read_top
 from ..io.simpmt import read_sim_params, SimConfig
@@ -44,12 +46,39 @@ class Simulation:
                           sim=sim_file, traj=traj_file, log=log_file,
                           hop=hop_file, a=a_file, chk=checkpoint_file)
 
-        # ---- restart auto-detect (check_restart_trajectory semantics):
-        # resume iff trajectory + checkpoint both exist
+        # text velocity checkpoint (the reference's format, written
+        # alongside the .npz so a run can be continued by EITHER engine)
+        self.text_chk = (checkpoint_file[:-4]
+                         if checkpoint_file.endswith(".npz")
+                         else checkpoint_file + ".vel")
+
+        # ---- restart auto-detect (check_restart_trajectory semantics,
+        # general_routines.f90:37-115): prefer the bit-exact .npz; fall
+        # back to trajectory tail + TEXT velocity checkpoint (so a run
+        # started under the Fortran engine can be resumed here)
         self.restart = (os.path.exists(traj_file)
                         and os.path.exists(checkpoint_file))
+        self.text_restart = (not self.restart
+                             and os.path.exists(traj_file)
+                             and os.path.exists(log_file)
+                             and os.path.exists(self.text_chk)
+                             and os.path.getsize(self.text_chk) > 0)
 
-        frame = read_gro(gro_file)
+        if self.text_restart:
+            frame = read_last_gro_frame(traj_file)
+            step_traj = frame_step(frame)
+            step_vel, v_restart = read_velocity_checkpoint(self.text_chk)
+            # the reference hard-stops on a step mismatch (:85-93)
+            if step_traj != step_vel or step_vel <= 0:
+                raise ValueError(
+                    f"error restarting trajectory: last step differs "
+                    f"between trajectory ({step_traj}) and velocity "
+                    f"checkpoint ({step_vel})")
+            if v_restart.shape[0] != frame.n_atoms:
+                raise ValueError("velocity checkpoint atom count does not "
+                                 "match the trajectory frame")
+        else:
+            frame = read_gro(gro_file)
         self.system, topo = build_system(
             frame, read_ffpmt(ff_file), read_top(top_file), self.cfg)
         self.frame0 = frame
@@ -76,6 +105,16 @@ class Simulation:
                           key=jnp.asarray(chk["key"]),
                           step=jnp.asarray(int(chk["step"]), jnp.int32))
             self.start_step = int(chk["step"])
+        elif self.text_restart:
+            # statistical continuation (reference semantics: positions from
+            # the trajectory tail, velocities from the text checkpoint, RNG
+            # reseeded)
+            state = State(x=jnp.asarray(frame.xyz, fdt),
+                          v=jnp.asarray(v_restart, fdt),
+                          box=jnp.asarray(frame.box, fdt),
+                          key=key,
+                          step=jnp.asarray(step_vel, jnp.int32))
+            self.start_step = step_vel
         else:
             key, vkey = jax.random.split(key)
             mobile = velocities.freeze_mask(self.system, topo)
@@ -96,16 +135,18 @@ class Simulation:
         vol = float(jnp.abs(jnp.linalg.det(np.asarray(state.box))))
         self.capacity = neighbors.suggest_capacity(
             self.system.n_atoms, vol, self.system.verlet_cutoff)
-        self.cells = neighbors.suggest_cells(
-            self.system.n_atoms, np.asarray(state.box),
-            self.system.verlet_cutoff)
+        # verlet_allpairs (glob_v.f90:43) forces the dense O(N^2) build
+        # (the reference's all-pairs fallback, general_routines.f90:1356)
+        self.cells = () if self.cfg.verlet_allpairs else \
+            neighbors.suggest_cells(self.system.n_atoms,
+                                    np.asarray(state.box),
+                                    self.system.verlet_cutoff)
         self.react_cap = None     # density default; grown on overflow
         self.ms = integrators.initial_md_state(
             state, topo, self.system, self.cbw, self.capacity, self.cells)
         self.react_cap = self.ms.nlist.react_cap or None
         self._retry_capacity_if_overflow()
 
-        self._evb_overflow_warned = False
         self.barostat = None
         if self.cfg.ensemble == "NPT":
             self.barostat = MCBarostat(self.cfg.pressure,
@@ -132,11 +173,29 @@ class Simulation:
             if self.capacity >= self.system.n_atoms - 1:
                 break
 
+    def _grow_evb_states(self):
+        """Regrow evb_max_states on diabat overflow (the neighbor-capacity
+        pattern applied to the state cap; the reference instead hard-stops,
+        ms_evb.f90:3107-3123).  Returns False at the configured ceiling."""
+        S = self.system.evb_max_states
+        hard = self.cfg.evb_hard_max_states
+        if S >= hard:
+            return False
+        new_s = min(hard, max(S * 2, S + 8))
+        self.system = self.system.replace(evb_max_states=new_s)
+        return True
+
     def _open_outputs(self):
-        mode = "a" if self.restart else "w"
+        mode = "a" if (self.restart or self.text_restart) else "w"
+        if mode == "w" and self.cfg.checkpoint_velocity \
+                and os.path.exists(self.text_chk):
+            open(self.text_chk, "w").close()    # fresh run: drop stale blocks
         self.traj_f = open(self.files["traj"], mode)
         self.log_f = open(self.files["log"], mode)
         self.hop_f = open(self.files["hop"], mode)
+        # the A-file (8th CLI file, main_ms_evb.f90:51-53): Zundel geometry
+        # + A factor stream, written at debug >= 2
+        self.a_f = open(self.files["a"], mode)
 
     def _mol_names_natom(self, topo):
         names = [self.system.mt.mtype_names[int(t)]
@@ -206,10 +265,17 @@ class Simulation:
             dens = mass_tot / vol / 6.022e23 * 1e24  # g/cm^3
             line += f" volume(A^3) {vol:14.4f} density(g/cm3) {dens:10.6f}\n"
         if self.system.ms_evb and self.cfg.print_ms_evb_data:
+            from ..evb import analysis
             c = np.asarray(ms.eigenvector)
             n = int(ms.n_states)
             line += (f" diabats {n} max_ci2 {float(np.max(c ** 2)):8.5f} "
                      f"hydronium_mol {int(ms.topo.hydronium_mol) + 1}\n")
+            # per-diabat block (print_evb_trajectory_data,
+            # ms_evb.f90:3128-3162): each diabat's acid molecule, c_i^2,
+            # solvation shell
+            rows = analysis.diabat_report(ms.hydronium_of, ms.n_hops_of,
+                                          ms.eigenvector, ms.n_states)
+            line += analysis.format_diabat_report(step, rows)
         if self.system.ms_evb and self.cfg.debug >= 2:
             # H-bond environment of the hydronium (get_h3o_network analog)
             from ..evb import analysis
@@ -218,8 +284,37 @@ class Simulation:
             self.hop_f.write(f"step {step} number of acceptors {n_acc} "
                              f"number of donors {n_don}\n")
             self.hop_f.flush()
+            self._write_a_file(step)
         self.log_f.write(line)
         self.log_f.flush()
+
+    def _write_a_file(self, step):
+        """debug=2 A-file stream: Zundel geometry + geometric factor A of
+        every non-principle diabat (write_geometry, ms_evb.f90:3828-3848;
+        call site :1079-1081)."""
+        from ..evb import analysis
+        from ..evb.enumerate import enumerate_diabats
+        from ..evb.topology_ops import build_diabat_topologies
+        import jax
+        ms = self.ms
+        ridx = ms.nlist.react_idx if ms.nlist.react_idx is not None \
+            else ms.nlist.full_idx
+        dset = enumerate_diabats(ms.state.x, ms.state.box, ms.topo,
+                                 self.system, full_idx=ridx)
+        batch = build_diabat_topologies(ms.topo, dset, self.system)
+        hop_log = np.asarray(dset.hop_log)
+        n_hops = np.asarray(dset.n_hops)
+        self.a_f.write(f"step {step}\n")
+        for s in range(1, int(dset.n_states)):
+            last = max(int(n_hops[s]) - 1, 0)
+            hop = hop_log[s, last]
+            topo_d = jax.tree_util.tree_map(lambda arr: arr[s], batch.topo)
+            a_fac, dn, dx, an, ax = analysis.zundel_diagnostics(
+                ms.state.x, ms.state.box, topo_d, self.system,
+                int(hop[0]), int(hop[3]), int(hop[1]))
+            self.a_f.write(analysis.format_zundel_geometry(
+                a_fac, dn, dx, an, ax))
+        self.a_f.flush()
 
     def dump_forces(self, path, step):
         """Per-atom force dump (print_forces analog,
@@ -235,6 +330,19 @@ class Simulation:
 
     def _checkpoint(self, step):
         topo = self.ms.topo
+        # reference-format text block (appended, like
+        # print_velocities_checkpoint) -- atoms in molecule-slot order to
+        # match the trajectory frames
+        names, natom = self._mol_names_natom(topo)
+        order = np.concatenate([
+            [a for a in np.asarray(topo.mol_atoms[m]) if a >= 0]
+            for m in range(self.system.n_mole)]).astype(int)
+        v = np.asarray(self.ms.state.v)[order]
+        anames = [self.system.ff.atype_names[int(t)]
+                  for t in np.asarray(topo.atom_type)[order]]
+        with open(self.text_chk, "a") as fh:
+            fh.write(format_velocity_checkpoint(step, names, natom,
+                                                anames, v))
         np.savez(self.files["chk"],
                  x=np.asarray(self.ms.state.x),
                  v=np.asarray(self.ms.state.v),
@@ -280,7 +388,7 @@ class Simulation:
         n_steps = n_steps if n_steps is not None else cfg.n_step
         self._open_outputs()
 
-        if not self.restart:
+        if not (self.restart or self.text_restart):
             self._log_header()
             self._log_step(self.start_step)
             self._write_frame(self.start_step)
@@ -290,17 +398,47 @@ class Simulation:
         step = self.start_step
         end = self.start_step + n_steps
         abort = False
+        skip_baro = False
         while step < end and not abort:
             if self.barostat is not None and step % cfg.barofreq == 0 \
-                    and step > self.start_step:
+                    and step > self.start_step and not skip_baro:
                 self.ms, self.cbw = self.barostat.attempt(
                     self.ms, self.system, self.cbw)
+            skip_baro = False
 
             chunk = self._next_chunk(step, end)
             prev_h = int(self.ms.topo.hydronium_mol)
+            ms_prev = self.ms
             self.ms, diag = integrators.md_scan(
                 self.ms, self.system, self.cbw, cfg.delta_t, ensemble,
                 chunk, cfg.friction_coeff, cfg.temperature)
+
+            # diabat overflow: the state set was truncated mid-chunk, which
+            # changes the adiabatic surface -- regrow the cap, restore the
+            # pre-chunk state and REPLAY the chunk (hard-abort only at the
+            # ceiling; reference behavior ms_evb.f90:3107-3123)
+            eo = np.asarray(diag.evb_overflow)
+            if self.system.ms_evb and eo.any():
+                if self._grow_evb_states():
+                    self.log_f.write(
+                        f"step {step}: diabat enumeration exceeded the "
+                        f"state cap; evb_max_states regrown to "
+                        f"{self.system.evb_max_states}, chunk replayed\n")
+                    self.log_f.flush()
+                    self.ms = integrators.initial_md_state(
+                        ms_prev.state, ms_prev.topo, self.system, self.cbw,
+                        self.capacity, self.cells, react_cap=self.react_cap)
+                    self._retry_capacity_if_overflow()
+                    skip_baro = True
+                    continue
+                bad = step + int(np.nonzero(eo)[0][0]) + 1
+                self.log_f.write(
+                    f"step {bad}: diabat enumeration exceeded "
+                    f"evb_hard_max_states={self.cfg.evb_hard_max_states} "
+                    f"-- aborting (reference behavior, "
+                    f"ms_evb.f90:3107-3123)\n")
+                self.log_f.flush()
+                abort = True
 
             hopped = np.asarray(diag.hopped)
             hyds = np.asarray(diag.hydronium)
@@ -314,16 +452,6 @@ class Simulation:
 
             if np.asarray(diag.nbr_overflow).any():
                 self._retry_capacity_if_overflow()
-            eo = np.asarray(diag.evb_overflow)
-            if eo.any() and not self._evb_overflow_warned:
-                self._evb_overflow_warned = True
-                bad = step + int(np.nonzero(eo)[0][0]) + 1
-                self.log_f.write(
-                    f"step {bad}: diabat enumeration exceeded "
-                    f"evb_max_states={self.system.evb_max_states}; the "
-                    f"state set is truncated (raise evb_max_states in the "
-                    f"simulation parameter file; cf. ms_evb.f90:3107-3123)\n")
-                self.log_f.flush()
             fo = np.asarray(diag.force_overflow)
             if fo.any():
                 bad = step + int(np.nonzero(fo)[0][0]) + 1
@@ -348,4 +476,5 @@ class Simulation:
         self.traj_f.close()
         self.log_f.close()
         self.hop_f.close()
+        self.a_f.close()
         return elapsed

@@ -15,8 +15,9 @@ Implements ms_evb.f90:1021-1403 (equations 10-12 of JPC B 2008, 112, 467):
                        mass so the element is donor/acceptor symmetric
                        (:1303-1348, zundel_r_com :2946-2982).
 
-Evaluated in the DIABAT topology (donor deprotonated, acceptor protonated,
-transferred proton = acceptor's last slot).  Forces via autodiff.
+Evaluated in the DIABAT topology (donor deprotonated, acceptor protonated);
+the transferred proton is identified by its hop-log global atom index, so
+no template slot-order assumption is made.  Forces via autodiff.
 """
 
 import jax
@@ -55,8 +56,16 @@ def geometric_factor(func, p, q_vec, r_OO_vec, nn_apply=None):
 
 
 def coupling_element(x, box, topo: Topology, system: System,
-                     donor_mol, acceptor_mol, active):
-    """One off-diagonal element in the given (diabat) topology."""
+                     donor_mol, acceptor_mol, proton_atom, active,
+                     com=None):
+    """One off-diagonal element in the given (diabat) topology.
+
+    `proton_atom` is the GLOBAL index of the transferred proton, taken from
+    the hop log (positions are shared across diabats, so the principle-
+    topology index identifies the same atom in the diabat topology).  The
+    reference identifies the proton the same way, via the hop log's
+    stored atom index (ms_evb.f90:1044-1063) -- no template-slot-order
+    assumption."""
     evb, mt = system.evb, system.mt
     A = system.max_atoms_per_mol
     N = system.n_atoms
@@ -71,8 +80,7 @@ def coupling_element(x, box, topo: Topology, system: System,
     # (get_heavy_atom_transfer_base, ms_evb.f90:2888-2911)
     d_heavy = topo.mol_atoms[d, jnp.maximum(mt.heavy_slot[d_mtype], 0)]
     a_heavy = topo.mol_atoms[a, jnp.maximum(mt.heavy_slot[a_mtype], 0)]
-    n_a = topo.mol_natom[a]
-    proton = topo.mol_atoms[a, n_a - 1]       # transferred H = last slot
+    proton = jnp.where(active, proton_atom, 0)
 
     d_heavy = jnp.maximum(d_heavy, 0)
     a_heavy = jnp.maximum(a_heavy, 0)
@@ -106,9 +114,13 @@ def coupling_element(x, box, topo: Topology, system: System,
     d_ai = jnp.maximum(d_atoms, 0)
     a_ai = jnp.maximum(a_atoms, 0)
 
-    # zundel center of mass: acceptor min-imaged against the donor COM
-    from ..evb.enumerate import molecule_com
-    com = molecule_com(x, topo, system.mass, box)
+    # zundel center of mass: acceptor min-imaged against the donor COM.
+    # com may be precomputed by the caller (one COM per step, patched for
+    # this diabat's chain molecules); every use below is stop_gradient
+    # (lattice-shift conventions), so a precomputed value is exact.
+    if com is None:
+        from ..evb.enumerate import molecule_com
+        com = molecule_com(x, topo, system.mass, box)
     com_d, com_a = com[d], com[a]
     shift_a = jax.lax.stop_gradient(
         (com_a - com_d) - pbc.min_image(com_a - com_d, box))
@@ -126,9 +138,10 @@ def coupling_element(x, box, topo: Topology, system: System,
     qx_d = jnp.where(d_am, evb.exchange_q_atype[topo.atom_type[d_ai]], 0.0)
     qx_a = jnp.where(a_am, evb.exchange_q_atype[topo.atom_type[a_ai]], 0.0)
     # the transferred proton's exchange charge depends on the molecule pair
-    # (evb_exchange_charge_proton, ms_evb.f90:1313-1316)
+    # (evb_exchange_charge_proton, ms_evb.f90:1313-1316); the proton is
+    # located in the acceptor block by its global index
     q_transfer = evb.exchange_q_proton[a_mtype, d_mtype]
-    qx_a = jnp.where(jnp.arange(A) == n_a - 1, q_transfer, qx_a)
+    qx_a = jnp.where(a_atoms == proton, q_transfer, qx_a)
 
     # zundel atom effective positions: each molecule "made whole" against
     # its first atom (the transferred proton can be split across the

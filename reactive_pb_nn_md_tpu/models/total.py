@@ -50,25 +50,29 @@ def realspace_inter(x, box, topo: Topology, system: System, pairs):
     (each separate gather profiled ~0.33 ms at 60k pairs)."""
     i, j, mask = pairs
     f = x.dtype
-    packed = jnp.stack([topo.charge.astype(f),
-                        topo.atom_type.astype(f),
-                        topo.atom_mol.astype(f)], axis=1)   # (N, 3)
+    # positions AND values in one (N, 6) array -> ONE j-row gather for the
+    # whole pair sweep (previously two: packed values + x[j]); its backward
+    # is likewise a single scatter-add
+    packed = jnp.concatenate(
+        [x, jnp.stack([topo.charge.astype(f),
+                       topo.atom_type.astype(f),
+                       topo.atom_mol.astype(f)], axis=1)], axis=1)  # (N, 6)
     pj = packed[j]                                          # one gather
     pi = packed[i]
-    inter = mask & (pi[..., 2] != pj[..., 2])
+    inter = mask & (pi[..., 5] != pj[..., 5])
 
-    dr = x[i] - x[j]
+    dr = pi[..., 0:3] - pj[..., 0:3]
     dr = pbc.min_image(dr, box)
     r2 = jnp.sum(dr * dr, axis=-1)
     within = inter & (r2 < system.real_space_cutoff ** 2)
     r2s = jnp.where(within, r2, 1.0)
     r = jnp.sqrt(r2s)
 
-    qq = pi[..., 0] * pj[..., 0]
+    qq = pi[..., 3] * pj[..., 3]
     e_elec = nonbonded.ewald_real(qq, r, system.alpha_sqrt)
 
-    ti = jnp.round(pi[..., 1]).astype(jnp.int32)
-    tj = jnp.round(pj[..., 1]).astype(jnp.int32)
+    ti = jnp.round(pi[..., 4]).astype(jnp.int32)
+    tj = jnp.round(pj[..., 4]).astype(jnp.int32)
     vtype = pair_lookup(system.ff.vdw_type, ti, tj)
     params = pair_lookup(system.ff.vdw_params, ti, tj)
     e_vdw = nonbonded.vdw_pair_energy(

@@ -72,3 +72,51 @@ def make_replica_step(system, cbw, dt, ensemble, friction=0.1,
             ms, system, cbw, dt, ensemble, friction, temperature)
 
     return jax.jit(jax.vmap(one))
+
+
+# ---------------------------------------------------------------------------
+# single-replica atom sharding (the >=10^4-atom regime: one big box spread
+# over the "atoms" mesh axis; XLA/GSPMD places the all-gathers for the pair
+# gathers and the reduce/all-reduces for energies on ICI)
+# ---------------------------------------------------------------------------
+
+def atom_sharding(mesh, ms: integrators.MDState):
+    """Shardings for ONE MDState (no replica axis): every array with a
+    leading atom dimension is sharded over the "atoms" axis, everything
+    else (molecule tables, box, scalars) is replicated."""
+    n_atoms = ms.state.x.shape[0]
+    sp = mesh.shape["atoms"]
+
+    def spec(a):
+        if a.ndim >= 1 and a.shape[0] == n_atoms and n_atoms % sp == 0:
+            return NamedSharding(mesh, P("atoms"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, ms)
+
+
+def make_atom_sharded_step(system, cbw, dt, ensemble, mesh, ms_example,
+                           friction=0.1, temperature=300.0):
+    """Jitted single-replica MD step with atom-dimension shardings pinned
+    on inputs AND outputs (so the state stays sharded across steps instead
+    of collapsing to replicated between dispatches)."""
+    shardings = atom_sharding(mesh, ms_example)
+
+    def one(ms):
+        return integrators.md_step.__wrapped__(
+            ms, system, cbw, dt, ensemble, friction, temperature)
+
+    return jax.jit(one, in_shardings=(shardings,), out_shardings=shardings)
+
+
+def collective_summary(compiled):
+    """Count XLA collectives in a compiled executable's HLO -- proof of
+    where GSPMD placed communication."""
+    txt = compiled.as_text()
+    counts = {}
+    for name in ("all-gather", "all-reduce", "reduce-scatter",
+                 "collective-permute", "all-to-all"):
+        n = txt.count(f" {name}")
+        if n:
+            counts[name] = n
+    return counts

@@ -364,17 +364,18 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
                 conjugate_atype[t1] = t2
                 conjugate_atype[t2] = t1
 
-        # consistency: acidic protons must be stored last (ms_evb.f90:144-167)
+        # The reference REQUIRES acidic protons stored last
+        # (evb_consistency_checks, ms_evb.f90:144-167) because its
+        # array-shifting topology mutation depends on slot order; the
+        # index-rewrite design here identifies the transferred proton by
+        # its hop-log global index, so any template slot order is valid
+        # (tested by test_coupling_invariant_to_template_slot_order).
+        # Only require that every acid actually HAS a reactive proton.
         for k in range(MT):
-            if is_acid[k]:
-                seen_h = False
-                for i in range(natom[k]):
-                    if reactive_protons[k, i] == 1:
-                        seen_h = True
-                    elif seen_h:
-                        raise ValueError(
-                            f"acidic protons must be last in molecule "
-                            f"{mtype_names[k]}")
+            if is_acid[k] and not any(
+                    reactive_protons[k, i] == 1 for i in range(natom[k])):
+                raise ValueError(f"acid molecule {mtype_names[k]} has no "
+                                 f"reactive proton")
 
         # per-type option sets: every type an atom can take in a diabat
         # (conservative closure of the conjugation/override algebra)
@@ -432,9 +433,16 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
                 bonded_heavy_slot[k, j] = i
         acid_k = k if is_acid[k] else conjugate_mtype[k]
         if proton_atype[acid_k] >= 0:
+            # search THIS type's own template: an acid holds the acid heavy
+            # type, a base holds its conjugate (deprotonated) heavy type.
+            # Indexing the acid template for a base molecule is only valid
+            # for protons-last templates (which the reference requires,
+            # ms_evb.f90:144-167 -- this engine supports any slot order).
             t_heavy = heavy_atype[acid_k]
-            for i in range(natom[acid_k]):
-                if atype[acid_k, i] == t_heavy:
+            if not is_acid[k]:
+                t_heavy = conjugate_atype[t_heavy]
+            for i in range(natom[k]):
+                if atype[k, i] == t_heavy:
                     heavy_slot[k] = i
                     break
 

@@ -81,7 +81,9 @@ def main():
         full_idx)[0].sum()))
     print(f"diag energies (f+bwd) : {timeit(diagg, x):8.2f} ms")
 
-    cpl = jax.jit(lambda xx: ham.coupling_elements(xx, box, batch, system))
+    from reactive_pb_nn_md_tpu.evb.enumerate import molecule_com
+    cpl = jax.jit(lambda xx: ham.coupling_elements(
+        xx, box, batch, system, molecule_com(xx, topo, system.mass, box)))
     print(f"couplings (fwd)       : {timeit(cpl, x):8.2f} ms")
 
     base = jax.jit(lambda xx: T.total_energy(

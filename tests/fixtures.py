@@ -139,7 +139,7 @@ lj_comb_rule       opls
 ms_evb_simulation  {msevb}
 Simulation Parameters
 n_step             {n_step}
-n_output           100
+n_output           {n_output}
 n_exclusions       2
 temperature        300.0
 pressure           1.0
@@ -152,7 +152,74 @@ pme_grid           {pme_grid}
 spline_order       6
 n_threads          1
 precision          fp64
-"""
+{extra}"""
+
+# the same h3o, with the template's ATOM SLOT ORDER permuted (a proton
+# first): exercises that nothing assumes the acidic proton is the last
+# template slot (cf. VERDICT r1: coupling_element heuristic)
+WATER_TOP_H3O_REORDERED = WATER_TOP.replace(
+    """[ moleculetype ]
+h3o 3
+
+[ atoms ]
+  1   O_h3o    16.0
+  2   H_h3o     1.008
+  3   H_h3o     1.008
+  4   H_h3o     1.008
+
+[ bonds ]
+1	2	3
+1	3	3
+1	4	3
+
+[ angles ]
+2	1	3	1
+2	1	4	1
+3	1	4	1
+""",
+    """[ moleculetype ]
+h3o 3
+
+[ atoms ]
+  1   H_h3o     1.008
+  2   O_h3o    16.0
+  3   H_h3o     1.008
+  4   H_h3o     1.008
+
+[ bonds ]
+2	1	3
+2	3	3
+2	4	3
+
+[ angles ]
+1	2	3	1
+1	2	4	1
+3	2	4	1
+""").replace(
+    """[ acid_reactive_protons ]
+   1   0
+   2   1
+   3   1
+   4   1
+""",
+    """[ acid_reactive_protons ]
+   1   1
+   2   0
+   3   1
+   4   1
+""").replace(
+    """[ acid_acceptor_atoms ]
+   1   1
+   2   0
+   3   0
+   4   0
+""",
+    """[ acid_acceptor_atoms ]
+   1   0
+   2   1
+   3   0
+   4   0
+""")
 
 
 def water_geometry(jitter=0.0, rng=None):
@@ -184,7 +251,7 @@ def h3o_geometry(jitter=0.0, rng=None):
 
 
 def make_water_box(n_water, include_h3o=True, spacing=3.1, jitter=0.05,
-                   seed=0):
+                   seed=0, h3o_reordered=False):
     """Build a GroFrame: waters (+ one hydronium) on a cubic lattice."""
     rng = np.random.default_rng(seed)
     n_mol = n_water + (1 if include_h3o else 0)
@@ -204,8 +271,13 @@ def make_water_box(n_water, include_h3o=True, spacing=3.1, jitter=0.05,
         origin += rng.uniform(-jitter, jitter, size=3)
         if m == h3o_index:
             pos = h3o_geometry(jitter, rng) + origin
+            if h3o_reordered:
+                # slot order H, O, H, H (matches WATER_TOP_H3O_REORDERED)
+                pos = pos[[1, 0, 2, 3]]
+                atom_names.extend(["H_h3o", "O_h3o", "H_h3o", "H_h3o"])
+            else:
+                atom_names.extend(["O_h3o", "H_h3o", "H_h3o", "H_h3o"])
             mol_names.append("h3o")
-            atom_names.extend(["O_h3o", "H_h3o", "H_h3o", "H_h3o"])
         else:
             pos = water_geometry(jitter, rng) + origin
             mol_names.append("h2o")
@@ -225,13 +297,15 @@ def make_water_box(n_water, include_h3o=True, spacing=3.1, jitter=0.05,
 
 def write_fixture_files(tmpdir, ensemble="NVE", msevb="yes", n_step=10,
                         cutoff=4.5, verlet_cutoff=5.5, alpha=0.7,
-                        pme_grid=32):
+                        pme_grid=32, n_output=100, extra="",
+                        h3o_reordered=False):
     ff = tmpdir / "ff.pmt"
     top = tmpdir / "top.top"
     sim = tmpdir / "sim.pmt"
     ff.write_text(WATER_FF_PMT)
-    top.write_text(WATER_TOP)
+    top.write_text(WATER_TOP_H3O_REORDERED if h3o_reordered else WATER_TOP)
     sim.write_text(SIM_PMT_TEMPLATE.format(
         ensemble=ensemble, msevb=msevb, n_step=n_step, cutoff=cutoff,
-        verlet_cutoff=verlet_cutoff, alpha=alpha, pme_grid=pme_grid))
+        verlet_cutoff=verlet_cutoff, alpha=alpha, pme_grid=pme_grid,
+        n_output=n_output, extra=extra))
     return str(ff), str(top), str(sim)

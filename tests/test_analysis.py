@@ -26,7 +26,11 @@ def test_hbond_network_counts(tmp_path):
     dset = enumerate_diabats(x, box, topo, system)
     c = np.zeros(system.evb_max_states)
     c[0] = 1.0
-    rows = analysis.diabat_report(dset, c, dset.n_states)
+    rows = analysis.diabat_report(dset.hydronium_of, dset.n_hops, c,
+                                  dset.n_states)
     assert len(rows) == int(dset.n_states)
     assert rows[0][1] == int(topo.hydronium_mol) + 1
     assert rows[0][3] == 0 and all(r[3] >= 1 for r in rows[1:])
+    block = analysis.format_diabat_report(7, rows)
+    assert f"number of diabats {len(rows)}" in block
+    assert block.count("hydronium_molecule") == len(rows)

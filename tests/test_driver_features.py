@@ -1,0 +1,218 @@
+"""Driver-level features added in round 2 (VERDICT r1 items):
+
+  * EVB trajectory observability: per-diabat log block + debug=2 A-file
+    (print_evb_trajectory_data ms_evb.f90:3128-3162, write_geometry
+    :3828-3848)
+  * evb_max_states overflow regrow / hard-ceiling abort (ms_evb.f90:3107)
+  * reference-format text velocity checkpoint + trajectory-tail restart
+    (general_routines.f90:997-1026, check_restart_trajectory :37-115)
+  * unknown sim-parameter key warning; verlet_allpairs forces dense build
+  * coupling element uses the hop log's proton (template slot-order
+    invariance)
+"""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+
+from fixtures import make_water_box, write_fixture_files
+from reactive_pb_nn_md_tpu.io.gro import format_gro_frame
+
+
+def _make_sim(tmp, n_water=63, msevb="yes", seed=5, jitter=0.05, **kw):
+    from reactive_pb_nn_md_tpu.md.simulation import Simulation
+    ff_p, top_p, sim_p = write_fixture_files(tmp, msevb=msevb, **kw)
+    frame = make_water_box(n_water, include_h3o=(msevb == "yes"), seed=seed,
+                           jitter=jitter)
+    gro_p = tmp / "box.gro"
+    gro_p.write_text(format_gro_frame(frame.title, frame.mol_names,
+                                      frame.mol_natom, frame.atom_names,
+                                      frame.xyz, frame.box))
+    return Simulation(str(gro_p), ff_p, top_p, sim_p,
+                      str(tmp / "traj.gro"), str(tmp / "log.out"),
+                      str(tmp / "hop.out"), str(tmp / "a.out"),
+                      checkpoint_file=str(tmp / "chk.npz"))
+
+
+def test_evb_observability(tmp_path):
+    """debug=2 reactive run: per-diabat block in the log, non-empty A-file."""
+    sim = _make_sim(tmp_path, n_water=63, n_step=4, n_output=2,
+                    extra="debug 2\n")
+    sim.run(4)
+    log = (tmp_path / "log.out").read_text()
+    assert "number of diabats" in log
+    assert "hydronium_molecule" in log and "ci^2" in log
+    # every printed diabat row carries a solvation shell
+    assert log.count("solvation_shell") >= 2
+    a_text = (tmp_path / "a.out").read_text()
+    assert "Donor Coordinates" in a_text
+    assert "Acceptor Coordinates" in a_text
+    assert "\n A " in a_text        # the geometric factor line
+
+
+def test_evb_state_regrow(tmp_path):
+    """A tiny evb_max_states must regrow (not silently truncate) and the
+    run must continue with the full state set."""
+    sim = _make_sim(tmp_path, n_water=63, n_step=4,
+                    extra="evb_max_states 3\nevb_hard_max_states 48\n")
+    assert sim.system.evb_max_states == 3
+    sim.run(4)
+    log = (tmp_path / "log.out").read_text()
+    assert "regrown" in log
+    assert sim.system.evb_max_states > 3
+    # the final state set fits without truncation
+    assert not bool(sim.ms.evb_overflow)
+    assert int(sim.ms.n_states) <= sim.system.evb_max_states
+
+
+def test_evb_state_hard_ceiling_aborts(tmp_path):
+    """At the hard ceiling the run aborts (reference hard-stop behavior)."""
+    sim = _make_sim(tmp_path, n_water=63, n_step=6,
+                    extra="evb_max_states 3\nevb_hard_max_states 3\n")
+    sim.run(6)
+    log = (tmp_path / "log.out").read_text()
+    assert "aborting" in log
+
+
+def test_text_checkpoint_written_and_restart(tmp_path):
+    """The reference-format text velocity checkpoint is written alongside
+    the .npz, and restart works from trajectory tail + text checkpoint
+    alone (the Fortran-engine migration path)."""
+    from reactive_pb_nn_md_tpu.io.gro import read_velocity_checkpoint
+    from reactive_pb_nn_md_tpu.md.simulation import Simulation
+
+    sim = _make_sim(tmp_path, n_water=26, msevb="no", n_step=6,
+                    n_output=3, extra="checkpoint_velocity 3\n")
+    files = (str(tmp_path / "box.gro"), str(tmp_path / "ff.pmt"),
+             str(tmp_path / "top.top"), str(tmp_path / "sim.pmt"),
+             str(tmp_path / "traj.gro"), str(tmp_path / "log.out"),
+             str(tmp_path / "hop.out"), str(tmp_path / "a.out"))
+    sim.run(6)
+
+    text_chk = tmp_path / "chk"          # chk.npz -> text twin "chk"
+    assert text_chk.exists()
+    step, vel = read_velocity_checkpoint(str(text_chk))
+    assert step == 6
+    assert vel.shape == (sim.system.n_atoms, 3)
+    # the text block matches the binary checkpoint's velocities
+    # (atoms are in molecule-slot order in the text file)
+    chk = np.load(tmp_path / "chk.npz")
+    order = np.concatenate([
+        [a for a in np.asarray(sim.ms.topo.mol_atoms[m]) if a >= 0]
+        for m in range(sim.system.n_mole)]).astype(int)
+    np.testing.assert_allclose(vel, np.asarray(chk["v"])[order], atol=5e-7)
+
+    # drop the .npz: restart must fall back to traj tail + text checkpoint
+    (tmp_path / "chk.npz").unlink()
+    sim2 = Simulation(*files, checkpoint_file=str(tmp_path / "chk.npz"))
+    assert sim2.text_restart and not sim2.restart
+    assert sim2.start_step == 6
+    np.testing.assert_allclose(np.asarray(sim2.ms.state.v), vel, atol=5e-7)
+    sim2.run(3)
+    log = (tmp_path / "log.out").read_text()
+    assert f"step {9:10d}" in log
+
+
+def test_text_restart_step_mismatch_stops(tmp_path):
+    """Mismatched last steps between trajectory and velocity checkpoint is
+    a hard error (check_restart_trajectory :85-93)."""
+    from reactive_pb_nn_md_tpu.md.simulation import Simulation
+    sim = _make_sim(tmp_path, n_water=26, msevb="no", n_step=6,
+                    n_output=3, extra="checkpoint_velocity 3\n")
+    files = (str(tmp_path / "box.gro"), str(tmp_path / "ff.pmt"),
+             str(tmp_path / "top.top"), str(tmp_path / "sim.pmt"),
+             str(tmp_path / "traj.gro"), str(tmp_path / "log.out"),
+             str(tmp_path / "hop.out"), str(tmp_path / "a.out"))
+    sim.run(6)
+    (tmp_path / "chk.npz").unlink()
+    # truncate the text checkpoint to its first block (step 3)
+    text_chk = tmp_path / "chk"
+    lines = text_chk.read_text().splitlines()
+    starts = [k for k, ln in enumerate(lines) if ln.startswith("step")]
+    text_chk.write_text("\n".join(lines[:starts[1]]) + "\n")
+    with pytest.raises(ValueError, match="last step differs"):
+        Simulation(*files, checkpoint_file=str(tmp_path / "chk.npz"))
+
+
+def test_unknown_sim_key_warns(tmp_path):
+    from reactive_pb_nn_md_tpu.io.simpmt import read_sim_params
+    ff_p, top_p, sim_p = write_fixture_files(
+        tmp_path, msevb="no", extra="alpha_sqr 0.5\n")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = read_sim_params(sim_p)
+    msgs = [str(x.message) for x in w]
+    assert any("alpha_sqr" in m for m in msgs)
+    # the typo'd key did not clobber the real one
+    assert cfg.alpha_sqrt == 0.7
+
+
+def test_verlet_allpairs_forces_dense(tmp_path, monkeypatch):
+    """verlet_allpairs yes must bypass the cell-list build even when the
+    system is large enough to qualify for it."""
+    from reactive_pb_nn_md_tpu.ops import neighbors
+
+    calls = {"n": 0}
+    real = neighbors.suggest_cells
+
+    def fake(*a, **kw):
+        calls["n"] += 1
+        return (4, 4, 4, 16)
+    monkeypatch.setattr(neighbors, "suggest_cells", fake)
+    sim = _make_sim(tmp_path, n_water=26, msevb="no", n_step=2,
+                    extra="verlet_allpairs yes\n")
+    assert sim.cells == ()
+    monkeypatch.setattr(neighbors, "suggest_cells", real)
+
+
+def test_coupling_invariant_to_template_slot_order(tmp_path):
+    """The adiabatic surface must not depend on the acid template's slot
+    ordering (the transferred proton is identified by the hop log, not by
+    'last slot')."""
+    import jax.numpy as jnp
+    from reactive_pb_nn_md_tpu.io.ffpmt import read_ffpmt
+    from reactive_pb_nn_md_tpu.io.topfile import read_top
+    from reactive_pb_nn_md_tpu.io.simpmt import read_sim_params
+    from reactive_pb_nn_md_tpu.topology import build_system
+    from reactive_pb_nn_md_tpu.models import pme
+    from reactive_pb_nn_md_tpu.ops import neighbors
+    from reactive_pb_nn_md_tpu.evb import hamiltonian as ham
+
+    results = {}
+    for variant in (False, True):
+        sub = tmp_path / ("reord" if variant else "std")
+        sub.mkdir()
+        ff_p, top_p, sim_p = write_fixture_files(
+            sub, msevb="yes", h3o_reordered=variant)
+        cfg = read_sim_params(sim_p)
+        frame = make_water_box(63, include_h3o=True, seed=11,
+                               h3o_reordered=variant)
+        system, topo = build_system(frame, read_ffpmt(ff_p),
+                                    read_top(top_p), cfg)
+        x = jnp.asarray(frame.xyz)
+        box = jnp.asarray(frame.box)
+        cap = neighbors.suggest_capacity(
+            system.n_atoms, float(np.prod(np.diag(frame.box))),
+            system.verlet_cutoff)
+        nlist = neighbors.build_neighbor_list(x, box, system.verlet_cutoff,
+                                              cap)
+        pairs = neighbors.neighbor_pairs(nlist)
+        cbw = pme.cb_half(box, system.pme_grid, system.spline_order,
+                          system.alpha_sqrt, dtype=x.dtype)
+        res, _ = ham.adiabatic_energy_force(x, box, topo, system, pairs,
+                                            cbw)
+        results[variant] = res
+
+    e0, e1 = (float(results[k].energy) for k in (False, True))
+    np.testing.assert_allclose(e0, e1, rtol=1e-9)
+    # forces: map the reordered frame's atom order back (only the h3o
+    # block [1,0,2,3] differs); h3o is molecule n_mol//2
+    f0 = np.asarray(results[False].force)
+    f1 = np.asarray(results[True].force)
+    n_mol = 64
+    first = int(sum(4 if m == n_mol // 2 else 3 for m in range(n_mol // 2)))
+    perm = np.arange(f0.shape[0])
+    perm[first:first + 4] = perm[first:first + 4][[1, 0, 2, 3]]
+    np.testing.assert_allclose(f0, f1[perm], atol=1e-7)

@@ -164,12 +164,20 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
     v = velocities.remove_com_momentum(v, system.mass, mobile[:, 0])
 
     ke = velocities.kinetic_energy(v, system.mass)
+    # fused pair-kernel capacity check (same regrow path as the neighbor
+    # list; XLA merges the binning with the kernel's own)
+    nbr_over = nlist.overflow
+    from ..models.total import _use_rs_kernel
+    if _use_rs_kernel(system, x.dtype):
+        from ..ops.pallas.realspace_pair import rs_cell_overflow
+        nbr_over = nbr_over | rs_cell_overflow(
+            x, state.box, system.rs_cells, system.real_space_cutoff)
     new_state = State(x=x, v=v, box=state.box, key=key, step=state.step + 1)
     return MDState(state=new_state, topo=fe.topo, nlist=nlist, force=force,
                    potential=fe.potential, breakdown=fe.breakdown, kinetic=ke,
                    n_states=fe.n_states, eigenvector=fe.eigenvector,
                    hopped=fe.hopped, force_overflow=force_overflow,
-                   nbr_overflow=nlist.overflow, evb_overflow=fe.evb_overflow,
+                   nbr_overflow=nbr_over, evb_overflow=fe.evb_overflow,
                    hydronium_of=fe.hydronium_of, n_hops_of=fe.n_hops_of)
 
 

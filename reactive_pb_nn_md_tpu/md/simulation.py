@@ -167,6 +167,12 @@ class Simulation:
             if self.react_cap:
                 self.react_cap = min(int(self.react_cap * 1.5) + 8,
                                      self.system.n_atoms - 1)
+            if self.system.rs_cells:
+                # grow the fused pair kernel's per-cell capacity too (the
+                # flag is shared; growing both is harmless)
+                n1, n2, n3, rcap = self.system.rs_cells
+                self.system = self.system.replace(
+                    rs_cells=(n1, n2, n3, rcap + 8))
             self.ms = integrators.initial_md_state(
                 self.ms.state, self.ms.topo, self.system, self.cbw,
                 self.capacity, self.cells, react_cap=self.react_cap)

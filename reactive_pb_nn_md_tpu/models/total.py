@@ -37,17 +37,43 @@ class EnergyBreakdown:
     dihedral: jnp.ndarray
 
 
+def _use_rs_kernel(system, dtype):
+    from ..ops.pallas.realspace_pair import _on_tpu
+    return bool(system.rs_cells) and dtype == jnp.float32 and _on_tpu()
+
+
 def realspace_inter(x, box, topo: Topology, system: System, pairs):
     """Inter-molecular real-space energy over the padded half pair list.
+
+    On TPU fp32 with a valid cell grid (system.rs_cells) this dispatches
+    to the fused Pallas cell-pair kernel (ops/pallas/realspace_pair.py):
+    energies and analytic forces in one scatter-free pass.  Otherwise the
+    XLA half-list path below runs (CPU, fp64, tiny/triclinic boxes, and
+    the vmapped ground-truth diabat path).
 
     pairs: (i, j, mask) broadcastable index arrays ((N,1)/(N,K) from
     neighbor_pairs, or flat).  Same-molecule pairs are masked here (the
     diabat's own molecule assignment decides inter vs intra).
 
-    The three x-independent j-side per-atom values (charge, type, molecule)
-    are packed into one (N, 3) array so the pair sweep issues ONE j-gather
-    for them instead of three -- TPU gather cost is per-row, not per-byte
-    (each separate gather profiled ~0.33 ms at 60k pairs)."""
+    The x-independent j-side per-atom values (charge, type, molecule)
+    ride in the same packed array as the positions so the pair sweep
+    issues ONE j-gather -- TPU gather cost is per-row, not per-byte."""
+    if _use_rs_kernel(system, x.dtype) and x.ndim == 2:
+        from ..ops.pallas.realspace_pair import (realspace_inter_cells,
+                                                 _build_tabs)
+        f = x.dtype
+        tabs = _build_tabs(system, f)
+        consts = (float(system.real_space_cutoff),
+                  float(system.alpha_sqrt), bool(system.has_sapt),
+                  int(system.ff.vdw_type.shape[0]))
+        return realspace_inter_cells(
+            x, topo.charge.astype(f), topo.atom_type.astype(f),
+            topo.atom_mol.astype(f), box, tabs, system.rs_cells, consts)
+    return _realspace_inter_xla(x, box, topo, system, pairs)
+
+
+def _realspace_inter_xla(x, box, topo: Topology, system: System, pairs):
+    """The XLA half-list pair sweep (see realspace_inter)."""
     i, j, mask = pairs
     f = x.dtype
     # positions AND values in one (N, 6) array -> ONE j-row gather for the

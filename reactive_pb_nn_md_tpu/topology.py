@@ -135,6 +135,9 @@ class System:
     ms_evb: bool = struct.field(pytree_node=False, default=False)
     has_sapt: bool = struct.field(pytree_node=False, default=False)
     eigensolver: str = struct.field(pytree_node=False, default="eigh")
+    # static cell grid for the fused Pallas real-space pair kernel
+    # (ops/pallas/realspace_pair.py); () = use the XLA half-list path
+    rs_cells: tuple = struct.field(pytree_node=False, default=())
 
 
 @struct.dataclass
@@ -538,5 +541,14 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         ms_evb=bool(cfg.ms_evb_simulation),
         has_sapt=bool((vdw_type == 1).any()),
         eigensolver=str(getattr(cfg, "eigensolver", "eigh")),
+        rs_cells=_suggest_rs_cells_safe(N, gro.box, cfg.real_space_cutoff),
     )
     return system, topo
+
+
+def _suggest_rs_cells_safe(n_atoms, box, cutoff):
+    from .ops.pallas.realspace_pair import suggest_rs_cells
+    try:
+        return suggest_rs_cells(n_atoms, box, cutoff)
+    except Exception:  # noqa: BLE001
+        return ()

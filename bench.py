@@ -33,7 +33,9 @@ PME_GRID = 32
 # cap.  32 keeps the padded batch tight.
 EVB_MAX_STATES = 32
 WARMUP = 3
-STEPS = 40
+STEPS = 120
+CHUNK = 40      # scan length per dispatch: amortizes the ~28 ms dispatch
+                # floor like production runs do (driver chunks up to 64)
 CPU_STEPS = 3
 
 
@@ -53,7 +55,7 @@ def run_bench(platform, precision, n_steps, warmup):
     system, cbw, cfg, ms = g._build(n_water=N_WATER, pme_grid=PME_GRID,
                                     precision=precision,
                                     evb_max_states=EVB_MAX_STATES)
-    chunk = max(1, min(n_steps, 20))
+    chunk = max(1, min(n_steps, CHUNK))
 
     def scan(ms):
         return integrators.md_scan(ms, system, cbw, cfg.delta_t, "NVE",

@@ -99,13 +99,19 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
                                   topo.atom_slot] > 0     # (N,)
     principle_h = topo.hydronium_mol
     sidx = jnp.arange(S, dtype=jnp.int32)
+    f = x.dtype
+
+    # one packed per-atom array -> ONE j-side row gather per level
+    # (positions + molecule + base flag; TPU gathers cost per row)
+    packed = jnp.concatenate(
+        [x, topo.atom_mol.astype(f)[:, None],
+         base_atom.astype(f)[:, None]], axis=1)           # (N, 5)
 
     hop_log = jnp.full((S, C, 5), -1, dtype=jnp.int32)
-    n_hops = jnp.zeros((S,), jnp.int32)
-    parent = jnp.full((S,), -1, jnp.int32)
-    donor_of = jnp.full((S,), -1, jnp.int32)
-    donor_of = donor_of.at[0].set(principle_h)
-    stop = jnp.zeros((S,), bool)
+    # meta columns: [n_hops, parent, donor_of, stop]
+    meta = jnp.full((S, 4), -1, jnp.int32)
+    meta = meta.at[:, 0].set(0).at[:, 3].set(0)
+    meta = meta.at[0, 2].set(principle_h)
     overflow = jnp.asarray(False)
 
     # COM neighborhood of every molecule, reused by all levels
@@ -119,9 +125,7 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         proton_ok = (mt.reactive_protons[d_mtype] > 0) & (d_atoms >= 0)
         g_p = jnp.maximum(d_atoms, 0)
         if full_idx is None:
-            xj = x[None, :, :]                             # (1, N, 3)
-            jmol = topo.atom_mol[None, :]
-            base_j = base_atom[None, :]
+            pj = packed[None, :, :]                        # (1, N, 5)
             row_ok = True
             jg = jnp.broadcast_to(
                 jnp.arange(x.shape[0], dtype=jnp.int32)[None, :],
@@ -130,9 +134,10 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
             rows = full_idx[g_p]                           # (A, Kf)
             row_ok = rows >= 0
             jg = jnp.maximum(rows, 0)
-            xj = x[jg]
-            jmol = topo.atom_mol[jg]
-            base_j = base_atom[jg]
+            pj = packed[jg]                                # one gather
+        xj = pj[..., 0:3]
+        jmol = jnp.round(pj[..., 3]).astype(jnp.int32)
+        base_j = pj[..., 4] > 0.5
         dr = pbc.min_image(x[g_p][:, None, :] - xj, box)
         dist2 = jnp.sum(dr * dr, axis=-1)                  # (A, Kf)
         cand = (proton_ok[:, None] & row_ok & base_j
@@ -153,17 +158,23 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
     lvl_end = jnp.asarray(1, jnp.int32)
 
     for level in range(C):
-        at_level = (sidx >= lvl_begin) & (sidx < lvl_end) & (~stop)
-        d_all = jnp.maximum(donor_of, 0)
+        # level 0 expands exactly one state (the principle diabat): run it
+        # at static batch size 1 instead of the padded S (the full-S
+        # expansion was ~1/3 of the enumeration cost)
+        SL = 1 if level == 0 else S
+        sidx_l = sidx[:SL]
+        at_level = (sidx_l >= lvl_begin) & (sidx_l < lvl_end) \
+            & (meta[:SL, 3] == 0)
+        d_all = jnp.maximum(meta[:SL, 2], 0)
         j_atom, g_p, heavy_g = jax.vmap(expand_one)(d_all, at_level)
-        # flatten (S, A, Anb) in state-major, proton-major order (matches
+        # flatten (SL, A, Anb) in state-major, proton-major order (matches
         # the reference's per-donor proton loop ordering)
         j_flat = j_atom.reshape(-1)
         valid = j_flat >= 0
-        src_state = jnp.repeat(sidx, A * Anb)
+        src_state = jnp.repeat(sidx_l, A * Anb)
         p_rep = jnp.broadcast_to(
             jnp.arange(A, dtype=jnp.int32)[None, :, None],
-            (S, A, Anb)).reshape(-1)
+            (SL, A, Anb)).reshape(-1)
 
         slot = lvl_end + jnp.cumsum(valid).astype(jnp.int32) - 1
         ok = valid & (slot < S)
@@ -176,22 +187,24 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         heavy_flat = heavy_g[src_state, p_rep]
 
         new_hop = jnp.stack([d_flat, proton_g, heavy_flat, a_mol, j_safe],
-                            axis=-1)                       # (S*A*Anb, 5)
-        chain = hop_log[src_state]                         # (S*A*Anb, C, 5)
+                            axis=-1)                       # (SL*A*Anb, 5)
+        chain = hop_log[src_state]                         # (SL*A*Anb, C, 5)
         chain = chain.at[:, level, :].set(new_hop)
+
+        new_meta = jnp.stack(
+            [jnp.full_like(a_mol, level + 1), src_state, a_mol,
+             (a_mol == principle_h).astype(jnp.int32)], axis=-1)
 
         pad = lambda arr: jnp.concatenate(
             [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], axis=0)
         hop_log = pad(hop_log).at[tgt].set(chain)[:S]
-        n_hops = pad(n_hops).at[tgt].set(level + 1)[:S]
-        parent = pad(parent).at[tgt].set(src_state)[:S]
-        donor_of = pad(donor_of).at[tgt].set(a_mol)[:S]
-        stop = pad(stop).at[tgt].set(a_mol == principle_h)[:S]
+        meta = pad(meta).at[tgt].set(new_meta)[:S]
 
         n_new = jnp.sum(valid).astype(jnp.int32)
         overflow = overflow | (lvl_end + n_new > S)
         lvl_begin = lvl_end
         lvl_end = jnp.minimum(lvl_end + n_new, S)
 
-    return DiabatSet(n_states=lvl_end, hop_log=hop_log, n_hops=n_hops,
-                     parent=parent, hydronium_of=donor_of, overflow=overflow)
+    return DiabatSet(n_states=lvl_end, hop_log=hop_log, n_hops=meta[:, 0],
+                     parent=meta[:, 1], hydronium_of=meta[:, 2],
+                     overflow=overflow)

@@ -139,6 +139,11 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     N = system.n_atoms
     Kf = full_idx.shape[1]
     f = x.dtype
+    # one-hot / energy contractions run bf16x3 (HIGH) instead of the
+    # global f32 (x6) pin: one-hot operands are exact in bf16 and the
+    # value operands keep ~21-bit mantissas -- measured indistinguishable
+    # from f32 on the delta==full equality tests
+    hi = jax.lax.Precision.HIGH
 
     bd0 = total_mod.energy_no_recip(x, box, topo0, system, pairs)
 
@@ -214,7 +219,8 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     jU_safe = jnp.maximum(jU, 0).reshape(-1)
     ohJ = (jU_safe[:, None]
            == jnp.arange(U, dtype=jnp.int32)[None, :]).astype(f)  # (U*Kf, U)
-    optsJ = (ohJ @ opts.astype(f)).reshape(U, Kf, O)       # partner options
+    optsJ = jnp.matmul(ohJ, opts.astype(f),
+                       precision=hi).reshape(U, Kf, O)     # partner options
 
     e_uu = []                                              # (O,O) kernels
     for a in range(O):
@@ -246,22 +252,23 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
 
     # out-field deltas
     masked_q = jnp.where(ua_mask[None], qU - q0U[None], 0.0)  # dq (S, U)
-    d_el_out = masked_q @ phi_el                           # (S,)
-    d_vdw_out = jnp.einsum("suo,uo->s", oh_sel, phi_vdw) \
+    d_el_out = jnp.matmul(masked_q, phi_el, precision=hi)  # (S,)
+    d_vdw_out = jnp.einsum("suo,uo->s", oh_sel, phi_vdw, precision=hi) \
         - jnp.sum(phi_vdw[:, 0])
 
     # U-U per-state values at the partner via one-hot matmuls
-    qJ = (ohJ @ qU.T).reshape(U, Kf, S)
-    mJ = (ohJ @ mU.astype(f).T).reshape(U, Kf, S)
-    sJ = (ohJ @ selU.astype(f).T).reshape(U, Kf, S)
-    m0J = (ohJ @ m0U.astype(f)).reshape(U, Kf)
-    q0J = (ohJ @ q0U).reshape(U, Kf)
+    qJ = jnp.matmul(ohJ, qU.T, precision=hi).reshape(U, Kf, S)
+    mJ = jnp.matmul(ohJ, mU.astype(f).T, precision=hi).reshape(U, Kf, S)
+    sJ = jnp.matmul(ohJ, selU.astype(f).T, precision=hi).reshape(U, Kf, S)
+    m0J = jnp.matmul(ohJ, m0U.astype(f), precision=hi).reshape(U, Kf)
+    q0J = jnp.matmul(ohJ, q0U, precision=hi).reshape(U, Kf)
     s0J = jnp.zeros((U, Kf), f)                            # sel_0 = 0
 
     inter_d = mU.T[:, None, :] != mJ                       # (U, Kf, S)
     inter_0uu = (m0U[:, None] != m0J)
     e_el_uu_d = 0.5 * jnp.einsum(
-        "uk,uks->s", ke_uu, jnp.where(inter_d, qU.T[:, None, :] * qJ, 0.0))
+        "uk,uks->s", ke_uu, jnp.where(inter_d, qU.T[:, None, :] * qJ, 0.0),
+        precision=hi)
     e_el_uu_0 = 0.5 * jnp.sum(ke_uu * jnp.where(inter_0uu, q0U[:, None]
                                                 * q0J, 0.0))
 
@@ -273,7 +280,7 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
             sel_ab = ((selU_t[:, None, :] == a) & (jnp.round(sJ) == b)
                       & inter_d)
             e_vdw_uu_d = e_vdw_uu_d + 0.5 * jnp.einsum(
-                "uk,uks->s", e_uu[a, b], sel_ab.astype(f))
+                "uk,uks->s", e_uu[a, b], sel_ab.astype(f), precision=hi)
             if a == 0 and b == 0:
                 e_vdw_uu_0 = 0.5 * jnp.sum(
                     e_uu[0, 0] * inter_0uu.astype(f))
@@ -297,8 +304,9 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
         cbw * (F0.real ** 2 + F0.imag ** 2))
     P, Mq = pme.recip_delta_quadratic(x[ua], ua_mask, box, system.pme_grid,
                                       system.spline_order, cbw, F0)
-    e_recip = (e0 + masked_q @ P
-               + 0.5 * jnp.einsum("su,uv,sv->s", masked_q, Mq, masked_q))
+    e_recip = (e0 + jnp.matmul(masked_q, P, precision=hi)
+               + 0.5 * jnp.einsum("su,uv,sv->s", masked_q, Mq, masked_q,
+                                  precision=hi))
 
     diag = bd0.total + deltas_rs + deltas_mol + extra + e_recip
     return diag, bd0, e_recip

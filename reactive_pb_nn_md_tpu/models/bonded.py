@@ -33,13 +33,19 @@ def _safe_acos(c):
     return jnp.arccos(jnp.clip(c, -1.0 + eps, 1.0 - eps))
 
 
-def _gather_pairs(topo, system, idx_table, mols=None, mmask=None):
-    """Resolve template index tables to global atom indices.
+def _gather_pairs(topo, system, idx_table, par_table, mols=None, mmask=None):
+    """Resolve template index tables to global atom indices + compiled
+    per-term parameters.
 
     idx_table: (MT, S, arity) local slot indices, -1 padded.
+    par_table: (MT, S, C) packed [func, params...] floats compiled per
+    template (topology.py) -- replaces the runtime (T,T,..) type-tuple
+    lookups (serialized tiny gathers on TPU) with the SAME row gather that
+    already fetches the slot indices.
     mols/mmask: optional molecule subset (the EVB delta diagonals evaluate
     bonded terms only for hop-chain molecules).
-    Returns (global_idx (M*S, arity), mask (M*S,)).
+    Returns (global_idx (M*S, arity), func (M*S,), params (M*S, C-1),
+    mask (M*S,)).
     """
     if mols is None:
         mt_of_mol = topo.mol_mtype                    # (M,)
@@ -51,6 +57,7 @@ def _gather_pairs(topo, system, idx_table, mols=None, mmask=None):
         mol_atoms = topo.mol_atoms[safe_m]
         sub_mask = mmask
     table = idx_table[mt_of_mol]                      # (M, S, arity)
+    par = par_table[mt_of_mol]                        # (M, S, C)
     mask = table[..., 0] >= 0                         # (M, S)
     if sub_mask is not None:
         mask = mask & sub_mask[:, None]
@@ -59,17 +66,15 @@ def _gather_pairs(topo, system, idx_table, mols=None, mmask=None):
         mol_atoms[:, None, :],                        # (M, 1, A)
         safe, axis=2)                                 # (M, S, arity)
     M, S, ar = gidx.shape
-    return gidx.reshape(M * S, ar), mask.reshape(M * S)
+    func = jnp.round(par[..., 0]).astype(jnp.int32).reshape(M * S)
+    return (gidx.reshape(M * S, ar), func,
+            par[..., 1:].reshape(M * S, -1), mask.reshape(M * S))
 
 
 def bond_energy(x, box, topo: Topology, system: System, mols=None,
                 mmask=None):
-    ff = system.ff
-    gidx, mask = _gather_pairs(topo, system, system.mt.bonds, mols, mmask)
-    ti = topo.atom_type[gidx[:, 0]]
-    tj = topo.atom_type[gidx[:, 1]]
-    func = ff.bond_func[ti, tj]
-    p = ff.bond_params[ti, tj]
+    gidx, func, p, mask = _gather_pairs(topo, system, system.mt.bonds,
+                                        system.mt.bond_tab, mols, mmask)
 
     dr = pbc.min_image(x[gidx[:, 0]] - x[gidx[:, 1]], box)
     r2 = jnp.sum(dr * dr, axis=-1)
@@ -88,13 +93,8 @@ def bond_energy(x, box, topo: Topology, system: System, mols=None,
 
 def angle_energy(x, box, topo: Topology, system: System, mols=None,
                  mmask=None):
-    ff = system.ff
-    gidx, mask = _gather_pairs(topo, system, system.mt.angles, mols, mmask)
-    ti = topo.atom_type[gidx[:, 0]]
-    tj = topo.atom_type[gidx[:, 1]]
-    tk = topo.atom_type[gidx[:, 2]]
-    func = ff.angle_func[ti, tj, tk]
-    p = ff.angle_params[ti, tj, tk]
+    gidx, func, p, mask = _gather_pairs(topo, system, system.mt.angles,
+                                        system.mt.angle_tab, mols, mmask)
 
     r_ij = pbc.min_image(x[gidx[:, 0]] - x[gidx[:, 1]], box)
     r_kj = pbc.min_image(x[gidx[:, 2]] - x[gidx[:, 1]], box)
@@ -112,11 +112,8 @@ def angle_energy(x, box, topo: Topology, system: System, mols=None,
 
 def dihedral_energy(x, box, topo: Topology, system: System, mols=None,
                     mmask=None):
-    ff = system.ff
-    gidx, mask = _gather_pairs(topo, system, system.mt.dihedrals, mols, mmask)
-    t = [topo.atom_type[gidx[:, k]] for k in range(4)]
-    func = ff.dihedral_func[t[0], t[1], t[2], t[3]]
-    p = ff.dihedral_params[t[0], t[1], t[2], t[3]]
+    gidx, func, p, mask = _gather_pairs(topo, system, system.mt.dihedrals,
+                                        system.mt.dihedral_tab, mols, mmask)
 
     r_ji = pbc.min_image(x[gidx[:, 1]] - x[gidx[:, 0]], box)
     r_kj = pbc.min_image(x[gidx[:, 2]] - x[gidx[:, 1]], box)

@@ -213,6 +213,12 @@ def recip_delta_quadratic(x_u, u_mask, box, K, order, cbw, F0):
     U = phi.shape[0]
     phw = (phi * cbw).reshape(U, -1)
     phf = phi.reshape(U, -1)
-    P = CONV_E2A_KJMOL * jnp.real(phw @ jnp.conj(F0).reshape(-1))
-    M = CONV_E2A_KJMOL * jnp.real(phw @ jnp.conj(phf).T)
+    # bf16x3 passes (~21-bit mantissa) instead of the global f32 (x6) pin:
+    # halves the MXU cost of the two big contractions at ~fp32 accuracy
+    # (the engine-wide pin stays f32 -- see utils.dtypes.set_precision)
+    hi = jax.lax.Precision.HIGH
+    P = CONV_E2A_KJMOL * jnp.real(
+        jnp.matmul(phw, jnp.conj(F0).reshape(-1), precision=hi))
+    M = CONV_E2A_KJMOL * jnp.real(
+        jnp.matmul(phw, jnp.conj(phf).T, precision=hi))
     return P, M

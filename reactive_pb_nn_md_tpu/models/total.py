@@ -164,6 +164,9 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
     if sub is not None:
         valid = valid & sub[:, None]
     code = system.mt.excl_code[mt[:, None], iu[None, :], ju[None, :]]
+    # compiled per-template pair parameters (vdW type + normal/1-4 params):
+    # replaces three runtime (T,T)-table pair lookups per pair
+    itab = system.mt.intra_tab[mt]                        # (M, P2, 13)
 
     gi = jnp.take_along_axis(mol_atoms, jnp.broadcast_to(
         iu[None, :], (mt.shape[0], iu.shape[0])), axis=1)
@@ -174,13 +177,19 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
     valid = valid.reshape(-1)
     code = code.reshape(-1)
 
+    # ONE packed row gather per side (positions + charge)
+    f = x.dtype
+    pc = jnp.concatenate([x, topo.charge.astype(f)[:, None]], axis=1)
+    pci = pc[gi]
+    pcj = pc[gj]
+
     # minimum image: a diabat's acceptor molecule can be split across the
     # periodic boundary (positions are shared across diabats)
-    dr = pbc.min_image(x[gi] - x[gj], box)
+    dr = pbc.min_image(pci[:, 0:3] - pcj[:, 0:3], box)
     r2 = jnp.sum(dr * dr, axis=-1)
     r2 = jnp.where(valid, r2, 1.0)
     r = jnp.sqrt(r2)
-    qq = topo.charge[gi] * topo.charge[gj]
+    qq = pci[:, 3] * pcj[:, 3]
 
     excluded = valid & (code == 1)
     nonexcl = valid & (code != 1)
@@ -190,10 +199,10 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
     within = nonexcl & (r2 < system.real_space_cutoff ** 2)
     e_elec = nonbonded.ewald_real(qq, r, system.alpha_sqrt)
 
-    ti, tj = topo.atom_type[gi], topo.atom_type[gj]
-    vtype = pair_lookup(system.ff.vdw_type, ti, tj)
-    params = pair_lookup(system.ff.vdw_params, ti, tj)
-    params14 = pair_lookup(system.ff.vdw_params_14, ti, tj)
+    P2 = iu.shape[0]
+    vtype = jnp.round(itab[..., 0]).astype(jnp.int32).reshape(-1)
+    params = itab[..., 1:7].reshape(-1, 6)
+    params14 = itab[..., 7:13].reshape(-1, 6)
     e_vdw = nonbonded.vdw_pair_energy(vtype, params, params14, is_14, r, r2,
                                       has_sapt=system.has_sapt)
 

@@ -73,6 +73,15 @@ class MolTypeTable:
                                          # whose type is the acid heavy type
                                          # (of this type if acid, of the
                                          # conjugate acid if base), -1 else
+    # ---- per-template COMPILED parameter tables: the type tuple of every
+    # bonded term / intra pair is static per template, so the runtime
+    # (T,T,..)-table lookups (serialized tiny gathers on TPU) collapse
+    # into one row gather of these packed float tables
+    bond_tab: jnp.ndarray = None         # (MT, B, 4)  func + 3 params
+    angle_tab: jnp.ndarray = None        # (MT, G, 3)  func + 2 params
+    dihedral_tab: jnp.ndarray = None     # (MT, D, 7)  func + 6 params
+    intra_tab: jnp.ndarray = None        # (MT, P2, 13) vtype + 6 + 6 params
+                                         # over the triu(A,1) slot pairs
     mtype_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
 
 
@@ -449,7 +458,56 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
                     heavy_slot[k] = i
                     break
 
+    # ---------------- per-template compiled parameter tables: the type
+    # tuple of every bonded term / intra slot pair is STATIC per template
+    # (diabat reorders guarantee template type order), so the runtime
+    # (T,T,..)-table lookups -- serialized tiny gathers on TPU -- become
+    # one packed row gather per term
+    MT_n = MT
+    B_n, G_n, D_n = bonds.shape[1], angles.shape[1], dihedrals.shape[1]
+    bond_tab = np.zeros((MT_n, B_n, 4))
+    angle_tab = np.zeros((MT_n, G_n, 3))
+    dihedral_tab = np.zeros((MT_n, D_n, 7))
+    iu_np, ju_np = np.triu_indices(A, 1)
+    P2 = iu_np.shape[0]
+    intra_tab = np.zeros((MT_n, P2, 13))
+    intra_tab[:, :, 0] = -1.0
+    for k in range(MT_n):
+        for s in range(B_n):
+            i0, j0 = bonds[k, s]
+            if i0 < 0:
+                continue
+            ti, tj = atype[k, i0], atype[k, j0]
+            bond_tab[k, s, 0] = bond_func[ti, tj]
+            bond_tab[k, s, 1:] = bond_params[ti, tj]
+        for s in range(G_n):
+            i0, j0, k0 = angles[k, s]
+            if i0 < 0:
+                continue
+            tt = (atype[k, i0], atype[k, j0], atype[k, k0])
+            angle_tab[k, s, 0] = angle_func[tt]
+            angle_tab[k, s, 1:] = angle_params[tt]
+        for s in range(D_n):
+            i0, j0, k0, l0 = dihedrals[k, s]
+            if i0 < 0:
+                continue
+            tt = (atype[k, i0], atype[k, j0], atype[k, k0], atype[k, l0])
+            dihedral_tab[k, s, 0] = dihedral_func[tt]
+            dihedral_tab[k, s, 1:] = dihedral_params[tt]
+        for s in range(P2):
+            i0, j0 = iu_np[s], ju_np[s]
+            if j0 >= natom[k]:
+                continue
+            ti, tj = atype[k, i0], atype[k, j0]
+            intra_tab[k, s, 0] = vdw_type[ti, tj]
+            intra_tab[k, s, 1:7] = vdw_params[ti, tj]
+            intra_tab[k, s, 7:13] = vdw_params_14[ti, tj]
+
     mt = MolTypeTable(
+        bond_tab=jnp.asarray(bond_tab, f),
+        angle_tab=jnp.asarray(angle_tab, f),
+        dihedral_tab=jnp.asarray(dihedral_tab, f),
+        intra_tab=jnp.asarray(intra_tab, f),
         natom=jnp.asarray(natom),
         atype=jnp.asarray(atype),
         mass=jnp.asarray(mmass, f),

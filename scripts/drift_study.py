@@ -1,0 +1,109 @@
+"""NVE drift decomposition (VERDICT r1 item 5): the same flagship
+trajectory in three configurations -- fp32 TPU, fp32 CPU, fp64 CPU --
+non-reactive and reactive, to separate fp32 rounding drift from
+sharp-cutoff truncation drift (identical physics in all three; only
+arithmetic differs).
+
+Usage:
+    python scripts/drift_study.py tpu-fp32 [steps] [reactive|nonreactive]
+    python scripts/drift_study.py cpu-fp32 [steps] [...]
+    python scripts/drift_study.py cpu-fp64 [steps] [...]
+
+Prints one line:  <config> <mode> steps=N dt_ps=... E0=... E1=...
+drift_per_ps=... drift_pct_of_KE_per_ps=...
+"""
+
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tests"))
+
+
+def main():
+    config = sys.argv[1] if len(sys.argv) > 1 else "tpu-fp32"
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    mode = sys.argv[3] if len(sys.argv) > 3 else "nonreactive"
+
+    import jax
+    if config.startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+    precision = "fp64" if config.endswith("fp64") else "fp32"
+
+    import numpy as np
+    import __graft_entry__ as g
+    g._enable_compile_cache()
+
+    # flagship box; the non-reactive variant runs the same coordinates
+    # with ms_evb off (pure water + spectator hydronium physics differs,
+    # so non-reactive uses a pure water box of the same size)
+    if mode == "reactive":
+        system, cbw, cfg, ms = g._build(n_water=215, pme_grid=32,
+                                        precision=precision,
+                                        evb_max_states=32)
+    else:
+        import tempfile
+        import jax.numpy as jnp
+        from fixtures import make_water_box, write_fixture_files
+        from reactive_pb_nn_md_tpu.io.ffpmt import read_ffpmt
+        from reactive_pb_nn_md_tpu.io.topfile import read_top
+        from reactive_pb_nn_md_tpu.io.simpmt import read_sim_params
+        from reactive_pb_nn_md_tpu.topology import build_system, State
+        from reactive_pb_nn_md_tpu.models import pme
+        from reactive_pb_nn_md_tpu.ops import neighbors
+        from reactive_pb_nn_md_tpu.md import integrators, velocities
+        from reactive_pb_nn_md_tpu.utils.dtypes import default_float
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        ff_p, top_p, sim_p = write_fixture_files(
+            tmp, msevb="no", cutoff=4.5, verlet_cutoff=5.5, alpha=0.7,
+            pme_grid=32)
+        (tmp / "sim.pmt").write_text(
+            (tmp / "sim.pmt").read_text().replace("fp64", precision))
+        frame = make_water_box(216, include_h3o=False, seed=0)
+        cfg = read_sim_params(sim_p)
+        system, topo = build_system(frame, read_ffpmt(ff_p),
+                                    read_top(top_p), cfg)
+        fdt = default_float()
+        key = jax.random.PRNGKey(0)
+        key, vkey = jax.random.split(key)
+        mobile = velocities.freeze_mask(system, topo)
+        v = velocities.sample_velocities(vkey, system.mass, 300.0, mobile)
+        state = State(x=jnp.asarray(frame.xyz, fdt), v=v,
+                      box=jnp.asarray(frame.box, fdt), key=key,
+                      step=jnp.asarray(0, jnp.int32))
+        cbw = pme.cb_half(state.box, system.pme_grid, system.spline_order,
+                          system.alpha_sqrt, dtype=fdt)
+        cap = neighbors.suggest_capacity(
+            system.n_atoms, float(np.prod(np.diag(frame.box))),
+            system.verlet_cutoff)
+        ms = integrators.initial_md_state(state, topo, system, cbw, cap)
+
+    from reactive_pb_nn_md_tpu.md import integrators
+
+    chunk = 100
+    etots, times = [], []
+    t0 = time.time()
+    done = 0
+    while done < n_steps:
+        ms, diag = integrators.md_scan(ms, system, cbw, cfg.delta_t,
+                                       "NVE", chunk)
+        e = np.asarray(diag.potential) + np.asarray(diag.kinetic)
+        etots.append(e)
+        done += chunk
+        if done % 2000 == 0:
+            print(f"# {done}/{n_steps} steps, {time.time() - t0:.0f} s, "
+                  f"Etot={e[-1]:.3f}", flush=True)
+    e = np.concatenate(etots)
+    t_ps = np.arange(1, len(e) + 1) * cfg.delta_t
+    # robust drift: linear fit over the whole run
+    slope = np.polyfit(t_ps, e, 1)[0]
+    ke = float(np.asarray(diag.kinetic)[-1])
+    print(f"{config} {mode} steps={n_steps} dt_ps={cfg.delta_t} "
+          f"E0={e[0]:.4f} E1={e[-1]:.4f} KE={ke:.1f} "
+          f"drift_per_ps={slope:.4f} "
+          f"drift_pct_of_KE_per_ps={100.0 * slope / ke:.4f}")
+
+
+if __name__ == "__main__":
+    main()

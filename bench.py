@@ -112,10 +112,12 @@ def _device_ms_per_step(scan, ms, chunk):
         return None
 
 
-def run_bench_10k(n_steps=8, warmup=2):
+def run_bench_10k(n_steps=32, warmup=8):
     """Second tracked config: the 10^4-atom cell-list box (3332 waters +
     hydronium, PME 64^3) -- VERDICT r1 item 6 asks for round-over-round
-    visibility of the large-system path."""
+    visibility of the large-system path.  chunk 16 amortizes the ~28 ms
+    dispatch floor the way production runs do (driver chunks up to 64);
+    at chunk 4 the floor alone cost ~7 ms/step of pure wall overhead."""
     import jax
     import __graft_entry__ as g
     g._enable_compile_cache()
@@ -123,7 +125,7 @@ def run_bench_10k(n_steps=8, warmup=2):
 
     system, cbw, cfg, ms = g._build(n_water=3332, pme_grid=64,
                                     precision="fp32", evb_max_states=32)
-    chunk = max(1, min(n_steps, 4))
+    chunk = max(1, min(n_steps, 16))
 
     def scan(ms):
         return integrators.md_scan(ms, system, cbw, cfg.delta_t, "NVE",

@@ -114,12 +114,14 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
     meta = meta.at[0, 2].set(principle_h)
     overflow = jnp.asarray(False)
 
-    # COM neighborhood of every molecule, reused by all levels
-    dcom = pbc.min_image(com[:, None, :] - com[None, :, :], box)
-    com_ok = jnp.sum(dcom * dcom, -1) < EVB_FIRST_SOLVATION_CUTOFF ** 2
-
     def expand_one(d, active):
         """Candidates (A, Anb) for donor molecule d (principle topology)."""
+        # COM neighborhood of THIS donor only -- (M,) per expanded state
+        # instead of a precomputed (M, M) matrix, which at 10^4 atoms was
+        # ~1.4 ms/step of pure wasted bandwidth (only donor rows are read)
+        dcom = pbc.min_image(com[d][None, :] - com, box)
+        com_ok_d = jnp.sum(dcom * dcom, -1) \
+            < EVB_FIRST_SOLVATION_CUTOFF ** 2              # (M,)
         d_mtype = topo.mol_mtype[d]
         d_atoms = topo.mol_atoms[d]                        # (A,)
         proton_ok = (mt.reactive_protons[d_mtype] > 0) & (d_atoms >= 0)
@@ -142,7 +144,7 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         dist2 = jnp.sum(dr * dr, axis=-1)                  # (A, Kf)
         cand = (proton_ok[:, None] & row_ok & base_j
                 & (jmol != d)
-                & com_ok[d][jmol]
+                & com_ok_d[jmol]
                 & (dist2 < EVB_REACTIVE_PAIR_DISTANCE ** 2)
                 & active)
         # first Anb candidate columns (ascending global j: dense columns

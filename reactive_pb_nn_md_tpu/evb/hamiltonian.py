@@ -293,26 +293,26 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     deltas_mol, extra = _chain_mol_deltas(x, box, batch, system,
                                           base_charge, topo0)
 
-    # ---------------- reciprocal space as a quadratic form in dq: ONE base
-    # FFT + two MXU contractions replace the S batched delta-FFTs
-    # (pme.recip_delta_quadratic); exact by linearity of the spreading
+    # ---------------- reciprocal space per state: ONE base FFT + one MXU
+    # contraction of the per-state delta spectrum (pme.recip_delta_perstate
+    # -- no per-diabat FFTs, no materialized per-atom spectrum); exact by
+    # linearity of the spreading
     Q0 = pme.charge_grid(x, base_charge, box, system.pme_grid,
                          system.spline_order)
     F0 = jnp.fft.rfftn(Q0)
     from ..utils.constants import CONV_E2A_KJMOL
     e0 = 0.5 * CONV_E2A_KJMOL * jnp.sum(
         cbw * (F0.real ** 2 + F0.imag ** 2))
-    P, Mq = pme.recip_delta_quadratic(x[ua], ua_mask, box, system.pme_grid,
-                                      system.spline_order, cbw, F0)
-    e_recip = (e0 + jnp.matmul(masked_q, P, precision=hi)
-               + 0.5 * jnp.einsum("su,uv,sv->s", masked_q, Mq, masked_q,
-                                  precision=hi))
+    e_recip = e0 + pme.recip_delta_perstate(
+        x[ua], ua_mask, masked_q, box, system.pme_grid,
+        system.spline_order, cbw, F0)
 
     diag = bd0.total + deltas_rs + deltas_mol + extra + e_recip
     return diag, bd0, e_recip
 
 
-def coupling_elements(x, box, batch: DiabatBatch, system: System, com0):
+def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
+                      topo0=None, base_charge=None):
     """H_{parent(d), d} for every non-principle state d.
 
     com0 is the principle-topology per-molecule COM (computed once per
@@ -321,12 +321,25 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0):
     most 2*C rows via a tiny (2C, A) gather instead of recomputing the
     full (M, A) mass-weighted reduction per state (round-1 profile:
     molecule_com was ~0.22 ms/call, and the old path ran it per state
-    under the vmap)."""
+    under the vmap).
+
+    topo0/base_charge (principle topology) enable the molecule-major Vex
+    path: positions+charges grouped (M, A) are gathered ONCE here and the
+    per-state sweep is pure broadcast arithmetic + a tiny chain
+    correction (coupling._vex_mol_major)."""
     dset = batch.dset
     S = system.evb_max_states
     sidx = jnp.arange(S)
     active = (sidx < dset.n_states) & (sidx > 0)
     from .enumerate import molecule_com
+
+    mol_pack = None
+    if topo0 is not None:
+        ma = jnp.maximum(topo0.mol_atoms, 0)               # (M, A)
+        f = x.dtype
+        pk = jnp.concatenate([x, base_charge.astype(f)[:, None]],
+                             axis=1)[ma]                   # one (M, A, 4)
+        mol_pack = (pk[..., 0:3], pk[..., 3], topo0.mol_atoms >= 0)
 
     def one(topo_d, hop_log_s, n_hops_s, act):
         last = jnp.maximum(n_hops_s - 1, 0)
@@ -348,7 +361,8 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0):
 
         return coupling.coupling_element(x, box, topo_d, system,
                                          donor, acceptor, proton, act,
-                                         com_s)
+                                         com_s, mol_pack=mol_pack,
+                                         chain=(mols, mvalid))
 
     return jax.vmap(one)(batch.topo, dset.hop_log, dset.n_hops, active)
 
@@ -380,7 +394,8 @@ def assemble_hamiltonian(x, box, batch: DiabatBatch, system: System,
     # decomposition (E_elec includes recip+self, reference print_step)
     bds = bd0.replace(elec=bd0.elec + e_recip[0],
                       total=bd0.total + e_recip[0])
-    offdiag = coupling_elements(x, box, batch, system, com0)
+    offdiag = coupling_elements(x, box, batch, system, com0,
+                                topo0=topo0, base_charge=base_charge)
 
     # park inactive states far above, with distinct values (degenerate
     # eigenvalues would break nothing here -- c comes from the active block

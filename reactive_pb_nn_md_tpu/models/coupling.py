@@ -57,7 +57,7 @@ def geometric_factor(func, p, q_vec, r_OO_vec, nn_apply=None):
 
 def coupling_element(x, box, topo: Topology, system: System,
                      donor_mol, acceptor_mol, proton_atom, active,
-                     com=None):
+                     com=None, mol_pack=None, chain=None):
     """One off-diagonal element in the given (diabat) topology.
 
     `proton_atom` is the GLOBAL index of the transferred proton, taken from
@@ -65,7 +65,10 @@ def coupling_element(x, box, topo: Topology, system: System,
     topology index identifies the same atom in the diabat topology).  The
     reference identifies the proton the same way, via the hop log's
     stored atom index (ms_evb.f90:1044-1063) -- no template-slot-order
-    assumption."""
+    assumption.
+
+    mol_pack/chain select the molecule-major Vex path (see _vex_mol_major);
+    the hot loop passes them so no per-state (N,)-row gathers remain."""
     evb, mt = system.evb, system.mt
     A = system.max_atoms_per_mol
     N = system.n_atoms
@@ -132,7 +135,6 @@ def coupling_element(x, box, topo: Topology, system: System,
     # per-solvent-molecule lattice shift against the zundel COM
     shift_mol = jax.lax.stop_gradient(
         (com - zundel[None, :]) - pbc.min_image(com - zundel[None, :], box))
-    shift_atom = shift_mol[topo.atom_mol]                  # (N, 3)
 
     # exchange charges of the zundel atoms
     qx_d = jnp.where(d_am, evb.exchange_q_atype[topo.atom_type[d_ai]], 0.0)
@@ -155,13 +157,75 @@ def coupling_element(x, box, topo: Topology, system: System,
                          axis=0)
     zq = jnp.concatenate([qx_d, qx_a])                     # (2A,)
 
-    solvent = (topo.atom_mol != d) & (topo.atom_mol != a)  # (N,)
-    xs = x - shift_atom                                    # (N, 3)
-    dr = zx[:, None, :] - xs[None, :, :]                   # (2A, N, 3)
-    pair_m = (zq != 0.0)[:, None] & solvent[None, :]
-    r2 = jnp.where(pair_m, jnp.sum(dr * dr, -1), 1.0)
-    vex = jnp.sum(jnp.where(
-        pair_m, zq[:, None] * topo.charge[None, :] / jnp.sqrt(r2), 0.0))
+    if mol_pack is not None:
+        vex = _vex_mol_major(x, zx, zq, d, a, topo, shift_mol, mol_pack,
+                             chain)
+    else:
+        shift_atom = shift_mol[topo.atom_mol]              # (N, 3)
+        solvent = (topo.atom_mol != d) & (topo.atom_mol != a)  # (N,)
+        xs = x - shift_atom                                # (N, 3)
+        dr = zx[:, None, :] - xs[None, :, :]               # (2A, N, 3)
+        pair_m = (zq != 0.0)[:, None] & solvent[None, :]
+        r2 = jnp.where(pair_m, jnp.sum(dr * dr, -1), 1.0)
+        vex = jnp.sum(jnp.where(
+            pair_m, zq[:, None] * topo.charge[None, :] / jnp.sqrt(r2), 0.0))
     vex = vex * CONV_E2A_KJMOL
 
     return jnp.where(active, (vconst + vex) * a_fac, 0.0)
+
+
+def _vex_sum(zx, zq, xg, qg, shift_g, mask_g):
+    """sum_z sum_g zq_z qg / |zx_z - (xg - shift_g)| over masked entries.
+    xg: (..., 3) grouped atom positions, shift broadcastable to xg.
+
+    Coincident pairs (a zundel atom against its own base-pack entry in the
+    full sweep) are masked to 0 -- they appear identically in the full and
+    chain-subtraction sweeps of _vex_mol_major, so masking both keeps the
+    cancellation exact instead of producing inf - inf."""
+    dr = zx[(slice(None),) + (None,) * (xg.ndim - 1)] - (xg - shift_g)[None]
+    r2 = jnp.sum(dr * dr, -1)
+    pair = (zq != 0.0)[(slice(None),) + (None,) * (mask_g.ndim)] \
+        & mask_g[None] & (r2 > 1e-12)
+    r2 = jnp.where(pair, r2, 1.0)
+    return jnp.sum(jnp.where(pair, zq.reshape(
+        (-1,) + (1,) * mask_g.ndim) * qg[None] / jnp.sqrt(r2), 0.0))
+
+
+def _vex_mol_major(x, zx, zq, d, a, topo, shift_mol, mol_pack, chain):
+    """Exchange electrostatics without per-state (N,)-row gathers.
+
+    The atom-major path gathers the per-molecule lattice shift onto every
+    atom (shift_mol[atom_mol]) separately for each diabat under the vmap
+    -- at 10^4 atoms x 32 states those serialized row gathers dominated
+    the profile.  Equivalent reformulation: sweep the state-independent
+    molecule-major base pack (positions/charges grouped (M, A) by the
+    PRINCIPLE topology, gathered ONCE per step), where the per-molecule
+    shift is a broadcast, then correct the <= 2C hop-chain molecules whose
+    charges/membership differ in this diabat (tiny per-state gathers):
+
+        vex = sum(all molecules, base pack)
+            - sum(chain molecules, base pack)
+            + sum(chain molecules not in {d, a}, diabat pack).
+
+    Non-chain molecules have identical charges/membership in every diabat,
+    and molecules d/a are excluded from the solvent sum entirely, so the
+    three terms reproduce the atom-major sum exactly (asserted by
+    tests/test_evb.py::test_vex_mol_major_equals_atom_major)."""
+    xm0, qm0, amask0 = mol_pack           # (M, A, 3), (M, A), (M, A)
+    mols, mvalid = chain                  # (2C,), (2C,)
+    A = xm0.shape[1]
+
+    full = _vex_sum(zx, zq, xm0, qm0, shift_mol[:, None, :], amask0)
+
+    cm = jnp.maximum(mols, 0)
+    shift_c = shift_mol[cm][:, None, :]   # (2C, 1, 3)
+    sub = _vex_sum(zx, zq, xm0[cm], qm0[cm], shift_c,
+                   amask0[cm] & mvalid[:, None])
+
+    atoms_d = topo.mol_atoms[cm]          # (2C, A) diabat membership
+    av = (atoms_d >= 0) & mvalid[:, None] \
+        & ((cm != d) & (cm != a))[:, None]
+    ai = jnp.maximum(atoms_d, 0)
+    add = _vex_sum(zx, zq, x[ai], topo.charge[ai], shift_c, av)
+
+    return full - sub + add

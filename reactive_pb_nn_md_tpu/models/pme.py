@@ -155,16 +155,18 @@ def ewald_self(q, alpha):
 # per-diabat reciprocal energies WITHOUT per-diabat FFTs
 # ---------------------------------------------------------------------------
 
-def structure_factors(x_u, box, K, order):
-    """Exact rfft-half-spectrum structure factors of each atom's B-spline
-    spread: Phi_u(m) = prod_axis sum_j w_uj exp(-2 pi i m g_uj / K).
+def structure_axis_factors(x_u, box, K, order):
+    """Per-axis structure factors of each atom's B-spline spread:
+    Phi_u(m) = A_u(m1) B_u(m2) C_u(m3) with
+    A_u(m) = sum_j w_uj exp(-2 pi i m g_uj / K) (and likewise B, C; the
+    third axis only needs the rfft half spectrum).
 
-    This is the analytic DFT of what grid_Q scatters for one unit charge at
-    x_u (the separability follows from the tensor-product spline spread,
-    pme.f90:224-244).  The phase argument is reduced mod K in exact integer
-    arithmetic so fp32 sincos stays fully accurate.
+    This is the analytic DFT of what grid_Q scatters for one unit charge
+    at x_u (separability follows from the tensor-product spline spread,
+    pme.f90:224-244).  The phase argument is reduced mod K in exact
+    integer arithmetic so fp32 sincos stays fully accurate.
 
-    Returns (U, K, K, K//2+1) complex.
+    Returns (A (U, K), B (U, K), C (U, K//2+1)) complex.
     """
     f = x_u.dtype
     u = pbc.scaled_grid_coords(x_u, box, K)                 # (U, 3)
@@ -174,8 +176,6 @@ def structure_factors(x_u, box, K, order):
     k = jnp.arange(order, dtype=jnp.int32)
     g = jnp.mod(nearpt[..., None] - k, K)                   # (U, 3, order)
 
-    Kh = K // 2 + 1
-
     def axis_factor(axis, n_m):
         m = jnp.arange(n_m, dtype=jnp.int32)
         # integer phase m*g mod K stays exact; fp32 sincos of [0, 2pi)
@@ -184,41 +184,46 @@ def structure_factors(x_u, box, K, order):
         e = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
         return jnp.einsum("uo,uom->um", w[:, axis, :].astype(f), e)
 
-    A = axis_factor(0, K)                                   # (U, K)
-    B = axis_factor(1, K)
-    C = axis_factor(2, Kh)
-    return A[:, :, None, None] * B[:, None, :, None] * C[:, None, None, :]
+    return (axis_factor(0, K), axis_factor(1, K), axis_factor(2, K // 2 + 1))
 
 
-def recip_delta_quadratic(x_u, u_mask, box, K, order, cbw, F0):
-    """State-independent pieces of the per-diabat reciprocal energy.
+def recip_delta_perstate(x_u, u_mask, dq, box, K, order, cbw, F0):
+    """Per-diabat reciprocal energies without per-diabat FFTs.
 
-    For diabat s with changed-atom charge deltas dq_s (on the fixed atom
-    set x_u), the reciprocal energy is EXACTLY
+    For diabat s with changed-atom charge deltas dq_s on the fixed atom
+    set x_u, the delta density's half spectrum is G_s = sum_u dq_su Phi_u,
+    and EXACTLY (by linearity of the spreading)
 
-        E_recip,s = E_recip,0 + dq_s . P + 1/2 dq_s . M . dq_s
-
-    with P_u = conv * sum_m cbw Re(F0* Phi_u)   (base-density potential)
-         M_uv = conv * sum_m cbw Re(Phi_u Phi_v*)  (pair matrix).
+        E_recip,s = E_recip,0 + conv sum_m cbw Re(F0* G_s)
+                              + conv/2 sum_m cbw |G_s|^2.
 
     This replaces the reference's per-diabat modify_Q_grid + FFT
-    (ms_evb.f90:1962-2095, pme.f90:275-335) with two MXU contractions and
+    (ms_evb.f90:1962-2095, pme.f90:275-335) with one MXU contraction and
     NO per-diabat FFT: the TPU-native end point of the incremental-PME
-    idea.  Verified equal to the batched-FFT path by tests/test_delta_diag.
+    idea.  G_s is built by contracting the state axis against a row-wise
+    B*C outer factor WITHOUT ever materializing the (U, K^3/2) per-atom
+    spectrum Phi -- at K=64 / U=128 that tensor is ~140 MB of HBM traffic
+    per use, which dominated the 10k-atom step profile.  Verified equal
+    to the batched-FFT path by tests/test_delta_diag.py.
 
-    F0: rfftn of the base charge grid.  Returns (P (U,), M (U, U)).
+    dq: (S, U) per-state charge deltas (zero outside u_mask).
+    F0: rfftn of the base charge grid.  Returns (S,) delta energies
+    (E_recip,s - E_recip,0).
     """
-    phi = structure_factors(x_u, box, K, order)             # (U, K, K, Kh)
-    phi = phi * u_mask.astype(phi.real.dtype)[:, None, None, None]
-    U = phi.shape[0]
-    phw = (phi * cbw).reshape(U, -1)
-    phf = phi.reshape(U, -1)
+    A, B, C = structure_axis_factors(x_u, box, K, order)
+    mask = u_mask.astype(A.real.dtype)
+    Kh = K // 2 + 1
+    S, U = dq.shape
+    # W[s,u,m1] = dq_su A_u(m1);  BC[u,(m2 m3)] = B_u(m2) C_u(m3)
+    W = (dq * mask[None, :]).astype(A.real.dtype)[:, :, None] * A[None]
+    BC = (B[:, :, None] * C[:, None, :]).reshape(U, K * Kh)
+    # one (S*K, U) x (U, K*Kh) complex matmul -> G (S, K, K, Kh)
     # bf16x3 passes (~21-bit mantissa) instead of the global f32 (x6) pin:
-    # halves the MXU cost of the two big contractions at ~fp32 accuracy
-    # (the engine-wide pin stays f32 -- see utils.dtypes.set_precision)
+    # the value operands keep ~fp32 accuracy (engine-wide pin stays f32)
     hi = jax.lax.Precision.HIGH
-    P = CONV_E2A_KJMOL * jnp.real(
-        jnp.matmul(phw, jnp.conj(F0).reshape(-1), precision=hi))
-    M = CONV_E2A_KJMOL * jnp.real(
-        jnp.matmul(phw, jnp.conj(phf).T, precision=hi))
-    return P, M
+    G = jnp.matmul(W.transpose(0, 2, 1).reshape(S * K, U), BC,
+                   precision=hi).reshape(S, K, K, Kh)
+    cross = jnp.real(jnp.conj(F0)[None] * G)
+    return CONV_E2A_KJMOL * jnp.sum(
+        cbw[None] * (cross + 0.5 * (G.real ** 2 + G.imag ** 2)),
+        axis=(1, 2, 3))

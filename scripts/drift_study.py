@@ -81,7 +81,7 @@ def main():
 
     from reactive_pb_nn_md_tpu.md import integrators
 
-    chunk = 100
+    chunk = 40       # matches the bench scan length (compile-cache hit)
     etots, times = [], []
     t0 = time.time()
     done = 0
@@ -91,7 +91,7 @@ def main():
         e = np.asarray(diag.potential) + np.asarray(diag.kinetic)
         etots.append(e)
         done += chunk
-        if done % 2000 == 0:
+        if done % 4000 == 0:
             print(f"# {done}/{n_steps} steps, {time.time() - t0:.0f} s, "
                   f"Etot={e[-1]:.3f}", flush=True)
     e = np.concatenate(etots)

@@ -1,7 +1,11 @@
 """Top device self-time sources of the scanned MD step (xplane trace ->
 hlo_stats, aggregated by source location).  Usage:
-    python scripts/profile_sources.py [n_water] [pme_grid] [evb_max_states]
-"""
+    python scripts/profile_sources.py [n_water] [pme_grid] [evb_max_states] [chunk]
+
+chunk should match an already-compiled scan length (bench.py uses 40 for
+the flagship and 4 for the 10k config) to hit the persistent compile
+cache -- a cold compile of a new chunk length takes ~25 min over a
+degraded tunnel."""
 
 import glob
 import json
@@ -23,7 +27,7 @@ def main():
     n_water = int(sys.argv[1]) if len(sys.argv) > 1 else 215
     pme_grid = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     smax = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    chunk = 40
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 40
 
     system, cbw, cfg, ms = g._build(n_water=n_water, pme_grid=pme_grid,
                                     precision="fp32", evb_max_states=smax)

@@ -168,6 +168,24 @@ def test_finite_difference_adiabatic_forces(evb_setup):
         np.testing.assert_allclose(force[a, d], fd, rtol=5e-5, atol=5e-5)
 
 
+def test_vex_mol_major_equals_atom_major(evb_setup):
+    """The molecule-major exchange-electrostatics path (base molecule pack
+    + hop-chain correction, coupling._vex_mol_major) must reproduce the
+    atom-major per-state sweep exactly -- including multi-hop states whose
+    mid-chain molecules carry diabat charges but count as solvent."""
+    from reactive_pb_nn_md_tpu.evb.enumerate import molecule_com
+    system, topo, x, box, pairs, cbw = evb_setup
+    dset = enumerate_diabats(x, box, topo, system)
+    assert int(jnp.max(dset.n_hops)) >= 2, "need a multi-hop chain"
+    batch = build_diabat_topologies(topo, dset, system)
+    com0 = molecule_com(x, topo, system.mass, box)
+    ref = ham.coupling_elements(x, box, batch, system, com0)
+    fast = ham.coupling_elements(x, box, batch, system, com0,
+                                 topo0=topo, base_charge=topo.charge)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_boundary_crossing_invariance(evb_setup):
     """Translating the system so the hydronium straddles the periodic
     boundary must not change the adiabatic surface: diabat topologies with

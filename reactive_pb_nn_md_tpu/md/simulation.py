@@ -45,6 +45,11 @@ class Simulation:
         self.files = dict(gro=gro_file, ff=ff_file, top=top_file,
                           sim=sim_file, traj=traj_file, log=log_file,
                           hop=hop_file, a=a_file, chk=checkpoint_file)
+        # per-atom force dump at every output step (print_forces analog,
+        # general_routines.f90:950-991; its call is commented out in the
+        # reference, md_integration.f90:503-505 -- here it is an opt-in
+        # path, --dump-forces on the CLI)
+        self.dump_forces_path = None
 
         # text velocity checkpoint (the reference's format, written
         # alongside the .npz so a run can be continued by EITHER engine)
@@ -470,6 +475,8 @@ class Simulation:
             if step % cfg.n_output == 0:
                 self._log_step(step)
                 self._write_frame(step)
+                if self.dump_forces_path:
+                    self.dump_forces(self.dump_forces_path, step)
             if cfg.checkpoint_velocity and \
                     step % cfg.checkpoint_velocity == 0:
                 self._checkpoint(step)

@@ -32,6 +32,10 @@ def main(argv=None):
                         "(the step is one compiled program, so per-phase "
                         "timing comes from the XLA profile; replaces the "
                         "reference's debug=1 wall-clock brackets)")
+    p.add_argument("--dump-forces", default=None, metavar="PATH",
+                   help="append a per-atom force dump to PATH at every "
+                        "output step (print_forces analog, "
+                        "general_routines.f90:950-991)")
     args = p.parse_args(argv)
 
     import jax
@@ -49,6 +53,9 @@ def main(argv=None):
 
     sim = Simulation(args.gro, args.ffpmt, args.top, args.simpmt,
                      args.traj, args.log, args.hop, args.afile)
+    if args.dump_forces:
+        sim.dump_forces_path = args.dump_forces
+        open(args.dump_forces, "w").close()      # fresh dump each run
     n = args.steps if args.steps is not None else sim.cfg.n_step
     if args.profile:
         with jax.profiler.trace(args.profile):

@@ -52,6 +52,23 @@ def test_evb_observability(tmp_path):
     assert "\n A " in a_text        # the geometric factor line
 
 
+def test_dump_forces(tmp_path):
+    """Opt-in per-atom force dump (print_forces analog) at every output
+    step, exposed as --dump-forces on the CLI."""
+    sim = _make_sim(tmp_path, n_water=26, n_step=4, n_output=2)
+    sim.dump_forces_path = str(tmp_path / "forces.out")
+    sim.run(4)
+    txt = (tmp_path / "forces.out").read_text()
+    assert txt.count("step ") == 2          # output steps 2 and 4
+    lines = [ln for ln in txt.splitlines() if not ln.startswith("step")]
+    assert len(lines) == 2 * sim.system.n_atoms
+    cols = lines[0].split()
+    assert len(cols) == 5                   # index, name, fx, fy, fz
+    f = np.array([ln.split()[2:5] for ln in lines], dtype=float)
+    assert np.all(np.isfinite(f))
+    assert np.abs(f).max() > 0.0
+
+
 def test_evb_state_regrow(tmp_path):
     """A tiny evb_max_states must regrow (not silently truncate) and the
     run must continue with the full state set."""

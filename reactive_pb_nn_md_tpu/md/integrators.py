@@ -244,10 +244,15 @@ def initial_md_state(state: State, topo: Topology, system: System, cbw,
                 system.n_atoms, vol, react_cutoff, safety=1.4)
     else:
         react_cap = 0
+    # the fused Pallas pair kernel bins atoms itself: the (N, K) half list
+    # has no consumer there, so skip its build-time compaction entirely
+    from ..models.total import _use_rs_kernel
+    build_half = not _use_rs_kernel(system, state.x.dtype)
     nlist = neighbors.build_neighbors(state.x, state.box,
                                       system.verlet_cutoff, capacity, cells,
                                       react_cutoff=react_cutoff,
-                                      react_cap=react_cap)
+                                      react_cap=react_cap,
+                                      build_half=build_half)
     fe = evaluate_forces(state.x, state.box, topo, system, nlist, cbw)
     ke = velocities.kinetic_energy(state.v, system.mass)
     return MDState(state=state, topo=fe.topo, nlist=nlist, force=fe.force,

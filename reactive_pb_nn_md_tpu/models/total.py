@@ -75,6 +75,11 @@ def realspace_inter(x, box, topo: Topology, system: System, pairs):
 def _realspace_inter_xla(x, box, topo: Topology, system: System, pairs):
     """The XLA half-list pair sweep (see realspace_inter)."""
     i, j, mask = pairs
+    if j.shape[-1] == 0 and system.n_atoms > 1:
+        raise ValueError(
+            "half neighbor list was skipped at build time (build_half="
+            "False, fused-kernel path) but the XLA pair sweep needs it -- "
+            "rebuild the neighbor list with build_half=True")
     f = x.dtype
     # positions AND values in one (N, 6) array -> ONE j-row gather for the
     # whole pair sweep (previously two: packed values + x[j]); its backward

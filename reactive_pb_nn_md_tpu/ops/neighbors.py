@@ -88,19 +88,34 @@ def suggest_cells(n_atoms, box, cutoff, safety=1.45, min_atoms=1024):
     return (nc[0], nc[1], nc[2], cap)
 
 
+def _full_cap_of(capacity, N):
+    """Width of the full adjacency.  `capacity` is already sized for the
+    FULL per-atom neighbor count (suggest_capacity: a padded j>i half list
+    keeps nearly all neighbors on low-index rows), so the full rows need
+    only a small safety margin on top -- the old 2x was pure top_k and
+    downstream-gather waste.  The shared overflow flag + host regrow
+    remain the safety net."""
+    return min(capacity + 8, N - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "chunk",
-                                              "react_cutoff", "react_cap"))
+                                              "react_cutoff", "react_cap",
+                                              "build_half"))
 def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
-                        react_cutoff=0.0, react_cap=0):
+                        react_cutoff=0.0, react_cap=0, build_half=True):
     """Neighbor lists of all atom pairs within cutoff.
 
     Builds the views in one sweep: the half list (j > i, used by the main
     pair sum), the full adjacency (used by the EVB delta diagonals to
     enumerate every pair touching a changed atom) and, when react_cap > 0,
-    the short-cutoff full adjacency for the proton-hop candidate search."""
+    the short-cutoff full adjacency for the proton-hop candidate search.
+
+    build_half=False skips the half list entirely (idx comes back (N, 0)):
+    on the fused-Pallas-kernel path the pair sweep bins atoms itself and
+    the half list has no consumer -- its compaction was pure build cost."""
     N = x.shape[0]
     capacity = min(capacity, N - 1)
-    full_cap = min(2 * capacity, N - 1)
+    full_cap = _full_cap_of(capacity, N)
     react_cap = min(react_cap, N - 1)
     n_chunks = -(-N // chunk)
     pad_n = n_chunks * chunk
@@ -118,9 +133,12 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
         fmask = (d2 < cutoff2) & (j_idx != i_idx) & (i_idx < N)
         hmask = fmask & (j_idx > i_idx)
 
-        out = (first_true_columns(hmask, capacity),
+        out = (first_true_columns(hmask, capacity) if build_half
+               else jnp.zeros((chunk, 0), jnp.int32),
                first_true_columns(fmask, full_cap),
-               jnp.sum(hmask, axis=1), jnp.sum(fmask, axis=1))
+               jnp.sum(hmask, axis=1) if build_half
+               else jnp.zeros((chunk,), jnp.int32),
+               jnp.sum(fmask, axis=1))
         if react_cap > 0:
             rmask = fmask & (d2 < react_cutoff * react_cutoff)
             out += (first_true_columns(rmask, react_cap),
@@ -129,10 +147,11 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
 
     res = jax.lax.map(one_chunk, jnp.arange(n_chunks))
     hvals, fvals, hcounts, fcounts = res[:4]
-    idx = hvals.reshape(pad_n, capacity)[:N]
+    idx = hvals.reshape(pad_n, capacity if build_half else 0)[:N]
     full_idx = fvals.reshape(pad_n, full_cap)[:N]
-    overflow = (jnp.any(hcounts.reshape(-1)[:N] > capacity)
-                | jnp.any(fcounts.reshape(-1)[:N] > full_cap))
+    overflow = jnp.any(fcounts.reshape(-1)[:N] > full_cap)
+    if build_half:
+        overflow = overflow | jnp.any(hcounts.reshape(-1)[:N] > capacity)
     react_idx = None
     if react_cap > 0:
         react_idx = res[4].reshape(pad_n, react_cap)[:N]
@@ -144,41 +163,40 @@ def build_neighbor_list(x, box, cutoff, capacity, chunk=512,
 
 
 def first_true_columns(mask, cap, idx_val=None):
-    """Compact the first `cap` True columns of a (..., C) mask into
-    (..., cap) values, -1 padded (selection in column order, via top_k on
-    a descending key -- cheaper than a stable argsort over C).
+    """Compact each row's masked values into (..., cap), ASCENDING, -1
+    padded.  idx_val defaults to the column index, in which case this is
+    "the first cap True columns".
 
-    idx_val: values to select (defaults to the column index itself).
-    The single implementation of this subtle kernel; used by the neighbor
-    builds and the diabat-candidate search."""
+    The value is embedded in the top_k key (key = bound - value), so the
+    selection needs NO take_along_axis -- on TPU that per-element gather
+    serializes (~3.8 ms/step of the 10k profile came from it).  Ascending
+    order falls out for free, which is exactly what the reactive
+    adjacency and the diabat-candidate search need for a deterministic
+    dense==cell discovery order; the pair-list consumers treat rows as
+    sets.  The single implementation of this subtle kernel."""
     n = mask.shape[-1]
     k = min(cap, n)
-    key = jnp.where(mask, n - jnp.arange(n, dtype=jnp.int32), 0)
-    kvals, sel = jax.lax.top_k(key, k)
     if idx_val is None:
-        vals = sel
+        v = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), mask.shape)
+        bound = n
     else:
-        vals = jnp.take_along_axis(idx_val, sel, axis=-1)
-    out = jnp.where(kvals > 0, vals, -1).astype(jnp.int32)
+        v = idx_val.astype(jnp.int32)
+        bound = jnp.int32(2 ** 30)        # > any atom index
+    key = jnp.where(mask, bound - v, 0)
+    kvals = jax.lax.top_k(key, k)[0]
+    out = jnp.where(kvals > 0, bound - kvals, -1).astype(jnp.int32)
     if k < cap:
         pad = [(0, 0)] * (out.ndim - 1) + [(0, cap - k)]
         out = jnp.pad(out, pad, constant_values=-1)
     return out
 
 
-def _sort_rows_ascending(idx):
-    """Sort each row's valid entries ascending, -1 padding last.  Used for
-    the reactive adjacency from the cell build, whose stencil-order rows
-    would otherwise change the diabat discovery order vs the dense path."""
-    big = jnp.iinfo(jnp.int32).max
-    s = jnp.sort(jnp.where(idx >= 0, idx, big), axis=-1)
-    return jnp.where(s == big, -1, s)
-
-
 @functools.partial(jax.jit, static_argnames=("capacity", "cells",
-                                              "react_cutoff", "react_cap"))
+                                              "react_cutoff", "react_cap",
+                                              "build_half"))
 def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
-                             react_cutoff=0.0, react_cap=0):
+                             react_cutoff=0.0, react_cap=0,
+                             build_half=True):
     """O(N) cell-list neighbor build (static grid, fixed cell capacity).
 
     Replaces the dense O(N^2) sweep for large systems; TPU-shaped version of
@@ -196,7 +214,7 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
     nc1, nc2, nc3, ccap = cells
     n_cells = nc1 * nc2 * nc3
     capacity = min(capacity, N - 1)
-    full_cap = min(2 * capacity, N - 1)
+    full_cap = _full_cap_of(capacity, N)
     cutoff2 = cutoff * cutoff
     ncv = jnp.array([nc1, nc2, nc3], jnp.int32)
 
@@ -219,9 +237,18 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
     rank = ar - run_start
     cell_over = jnp.any(rank >= ccap)
 
-    table = jnp.full((n_cells * ccap + 1,), N, jnp.int32)
+    # packed (position, atom id) cell table: candidate extraction below is
+    # ONE (N, 27)-row gather of (ccap, 4) blocks.  The previous form (an
+    # element-indexed id table + an (N*27*ccap)-row position gather) cost
+    # ~12 ms/step at 10^4 atoms -- TPU gathers serialize per row/element,
+    # so candidates must be fetched as packed BLOCKS, not elements.
+    f = x.dtype
     slot = jnp.where(rank < ccap, sorted_id * ccap + rank, n_cells * ccap)
-    table = table.at[slot].set(order)
+    pv = jnp.concatenate([x[order], order[:, None].astype(f)], axis=1)
+    ptab = jnp.full((n_cells * ccap + 1, 4), jnp.asarray(N, f), f)
+    # empty slots keep position (N, N, N, N): id N marks invalid below, and
+    # the bogus position is harmless (masked before any distance use)
+    ptab = ptab.at[slot].set(pv)
 
     # 27-stencil candidate cells per atom
     off = jnp.arange(-1, 2, dtype=jnp.int32)
@@ -229,28 +256,31 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
                    axis=-1).reshape(27, 3)                      # (27, 3)
     nbc = jnp.mod(ci[:, None, :] + o3[None], ncv)               # (N, 27, 3)
     nb_id = (nbc[..., 0] * nc2 + nbc[..., 1]) * nc3 + nbc[..., 2]
-    cand_slots = (nb_id[..., None] * ccap
-                  + jnp.arange(ccap, dtype=jnp.int32)).reshape(N, 27 * ccap)
-    cand = table[cand_slots]                                    # (N, 27*ccap)
+    blocks = ptab[:-1].reshape(n_cells, ccap * 4)[nb_id]        # (N, 27, ...)
+    blocks = blocks.reshape(N, 27 * ccap, 4)
+    xj = blocks[..., 0:3]
+    cand = jnp.round(blocks[..., 3]).astype(jnp.int32)          # (N, 27*ccap)
 
-    xj = x[jnp.minimum(cand, N - 1)]
     dr = pbc.min_image(x[:, None, :] - xj, box)
     d2 = jnp.sum(dr * dr, axis=-1)
     i_idx = ar[:, None]
     fmask = (cand < N) & (cand != i_idx) & (d2 < cutoff2)
-    hmask = fmask & (cand > i_idx)
 
-    idx = first_true_columns(hmask, capacity, cand)
+    if build_half:
+        hmask = fmask & (cand > i_idx)
+        idx = first_true_columns(hmask, capacity, cand)
+        half_over = jnp.any(jnp.sum(hmask, axis=1) > capacity)
+    else:
+        idx = jnp.zeros((N, 0), jnp.int32)
+        half_over = jnp.asarray(False)
     full_idx = first_true_columns(fmask, full_cap, cand)
-    overflow = (cell_over | box_bad
-                | jnp.any(jnp.sum(hmask, axis=1) > capacity)
+    overflow = (cell_over | box_bad | half_over
                 | jnp.any(jnp.sum(fmask, axis=1) > full_cap))
     react_idx = None
     react_cap = min(react_cap, N - 1)
     if react_cap > 0:
         rmask = fmask & (d2 < react_cutoff * react_cutoff)
-        react_idx = _sort_rows_ascending(
-            first_true_columns(rmask, react_cap, cand))
+        react_idx = first_true_columns(rmask, react_cap, cand)
         overflow = overflow | jnp.any(jnp.sum(rmask, axis=1) > react_cap)
     return NeighborList(idx=idx, full_idx=full_idx, ref_x=x,
                         overflow=overflow, capacity=capacity, cells=cells,
@@ -259,22 +289,24 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
 
 
 def build_neighbors(x, box, cutoff, capacity, cells=(), react_cutoff=0.0,
-                    react_cap=0):
+                    react_cap=0, build_half=True):
     """Dispatch the dense or cell-list build on the static config."""
     if cells:
         return build_neighbor_list_cell(x, box, cutoff, capacity, cells,
                                         react_cutoff=react_cutoff,
-                                        react_cap=react_cap)
+                                        react_cap=react_cap,
+                                        build_half=build_half)
     return build_neighbor_list(x, box, cutoff, capacity,
                                react_cutoff=react_cutoff,
-                               react_cap=react_cap)
+                               react_cap=react_cap, build_half=build_half)
 
 
 def rebuild_like(nlist: NeighborList, x, box, cutoff):
     """Rebuild with the same static configuration as an existing list."""
     return build_neighbors(x, box, cutoff, nlist.capacity, nlist.cells,
                            react_cutoff=nlist.react_cutoff,
-                           react_cap=nlist.react_cap)
+                           react_cap=nlist.react_cap,
+                           build_half=nlist.idx.shape[1] > 0)
 
 
 def needs_rebuild(nlist: NeighborList, x, box, skin):

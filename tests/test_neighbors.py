@@ -41,6 +41,40 @@ def test_cell_list_matches_dense(n, L, cutoff):
     assert {(i, j) for i, j in full if j > i} == _pair_set(cell.idx)
 
 
+@pytest.mark.parametrize("cells", [False, True])
+def test_build_half_skip(cells):
+    """build_half=False (fused-kernel path: the half list has no consumer)
+    must return an empty idx but identical full/react adjacencies, and
+    rebuild_like must preserve the choice."""
+    n, L, cutoff = 1200, 24.0, 4.5
+    x, box = _random_box(n, L, seed=9)
+    cap = neighbors.suggest_capacity(n, L ** 3, cutoff, safety=1.5)
+    cl = neighbors.suggest_cells(n, box, cutoff) if cells else ()
+    if cells:
+        assert cl
+    a = neighbors.build_neighbors(x, box, cutoff, cap, cl,
+                                  react_cutoff=3.0, react_cap=24)
+    b = neighbors.build_neighbors(x, box, cutoff, cap, cl,
+                                  react_cutoff=3.0, react_cap=24,
+                                  build_half=False)
+    assert b.idx.shape == (n, 0)
+    np.testing.assert_array_equal(np.asarray(a.full_idx),
+                                  np.asarray(b.full_idx))
+    np.testing.assert_array_equal(np.asarray(a.react_idx),
+                                  np.asarray(b.react_idx))
+    assert bool(a.overflow) == bool(b.overflow) == False  # noqa: E712
+    b2 = neighbors.rebuild_like(b, x, box, cutoff)
+    assert b2.idx.shape == (n, 0)
+    # the XLA pair sweep refuses to run from a skipped half list
+    from reactive_pb_nn_md_tpu.models.total import _realspace_inter_xla
+    with pytest.raises(ValueError, match="build_half"):
+
+        class _Sys:
+            n_atoms = n
+        _realspace_inter_xla(x, box, None, _Sys(),
+                             neighbors.neighbor_pairs(b))
+
+
 def test_cell_capacity_overflow_flag():
     x, box = _random_box(300, 18.0, seed=1)
     cells = neighbors.suggest_cells(300, np.asarray(box), 4.0, min_atoms=1)

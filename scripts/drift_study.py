@@ -5,9 +5,19 @@ sharp-cutoff truncation drift (identical physics in all three; only
 arithmetic differs).
 
 Usage:
-    python scripts/drift_study.py tpu-fp32 [steps] [reactive|nonreactive]
+    python scripts/drift_study.py tpu-fp32 [steps] [reactive|nonreactive] [equil_steps]
     python scripts/drift_study.py cpu-fp32 [steps] [...]
     python scripts/drift_study.py cpu-fp64 [steps] [...]
+
+The measurement window is preceded by `equil_steps` (default 4000 = 2 ps)
+of NVE with per-chunk velocity rescaling to 300 K (host-side, reusing the
+cached NVE program -- a Langevin leg would cost a second 25-min remote
+compile): the fixture box starts from a lattice-ish configuration, and
+NVE "drift" on a relaxing configuration conflates equilibration with
+integrator/arithmetic error.  Overflow flags
+(neighbor capacity, EVB state cap, force abort) are checked every chunk
+-- the production driver regrows/aborts on these; a drift number from a
+silently-overflowed trajectory is meaningless.
 
 Prints one line:  <config> <mode> steps=N dt_ps=... E0=... E1=...
 drift_per_ps=... drift_pct_of_KE_per_ps=...
@@ -25,6 +35,7 @@ def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "tpu-fp32"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     mode = sys.argv[3] if len(sys.argv) > 3 else "nonreactive"
+    equil_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 4000
 
     import jax
     if config.startswith("cpu"):
@@ -82,7 +93,41 @@ def main():
     from reactive_pb_nn_md_tpu.md import integrators
 
     chunk = 40       # matches the bench scan length (compile-cache hit)
-    etots, times = [], []
+
+    def flags(diag, done):
+        bad = []
+        for name in ("nbr_overflow", "evb_overflow", "force_overflow"):
+            a = np.asarray(getattr(diag, name))
+            if a.any():
+                bad.append(f"{name}@{done - chunk + int(np.argmax(a)) + 1}")
+        return bad
+
+    from reactive_pb_nn_md_tpu.md import velocities as vel
+    from reactive_pb_nn_md_tpu.utils.constants import KB
+    import jax.numpy as jnp
+    mobile = vel.freeze_mask(system, ms.topo)
+    ndof = 3 * int(np.sum(np.asarray(mobile))) - 3
+    ke_target = 0.5 * ndof * KB * 300.0
+
+    t0 = time.time()
+    done = 0
+    while done < equil_steps:
+        ms, diag = integrators.md_scan(ms, system, cbw, cfg.delta_t,
+                                       "NVE", chunk)
+        done += chunk
+        bad = flags(diag, done)
+        if bad:
+            print(f"# EQUIL OVERFLOW {bad} -- aborting", flush=True)
+            return
+        ke = float(np.asarray(diag.kinetic)[-1])
+        scale = jnp.asarray(np.sqrt(ke_target / ke), ms.state.v.dtype)
+        ms = ms.replace(state=ms.state.replace(v=ms.state.v * scale))
+    if equil_steps:
+        print(f"# equilibrated {done} rescaled-NVE steps, "
+              f"{time.time() - t0:.0f} s, KE={ke:.1f} -> {ke_target:.1f}",
+              flush=True)
+
+    etots = []
     t0 = time.time()
     done = 0
     while done < n_steps:
@@ -91,10 +136,16 @@ def main():
         e = np.asarray(diag.potential) + np.asarray(diag.kinetic)
         etots.append(e)
         done += chunk
+        bad = flags(diag, done)
+        if bad or not np.isfinite(e[-1]):
+            print(f"# ABORT at step {done}: flags={bad} Etot={e[-1]}",
+                  flush=True)
+            break
         if done % 4000 == 0:
             print(f"# {done}/{n_steps} steps, {time.time() - t0:.0f} s, "
                   f"Etot={e[-1]:.3f}", flush=True)
     e = np.concatenate(etots)
+    n_steps = len(e)
     t_ps = np.arange(1, len(e) + 1) * cfg.delta_t
     # robust drift: linear fit over the whole run
     slope = np.polyfit(t_ps, e, 1)[0]

@@ -9,6 +9,12 @@ Usage:
     python scripts/drift_study.py cpu-fp32 [steps] [...]
     python scripts/drift_study.py cpu-fp64 [steps] [...]
 
+Optional 5th/6th args share one equilibrated state across configs so
+every arithmetic runs the SAME initial condition (the decomposition is
+then purely arithmetic, not equilibration luck):
+    ... [equil_steps] save=eq.npz     equilibrate, save (state+topology), exit
+    ... 0             load=eq.npz     skip equil, measure from the saved state
+
 The measurement window is preceded by `equil_steps` (default 4000 = 2 ps)
 of NVE with per-chunk velocity rescaling to 300 K (host-side, reusing the
 cached NVE program -- a Langevin leg would cost a second 25-min remote
@@ -31,11 +37,47 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tests"))
 
 
+def _save_state(path, ms):
+    """Dump (state, topo) pytree leaves; structure is reconstructed by a
+    fresh build of the same fixture, so only the arrays need saving."""
+    import jax
+    import numpy as np
+    leaves = jax.tree_util.tree_leaves((ms.state, ms.topo))
+    np.savez(path, **{f"l{i}": np.asarray(v) for i, v in enumerate(leaves)})
+
+
+def _load_state(path, ms):
+    """Replace (state, topo) leaves with the saved ones, cast to the
+    fresh build's dtypes (fp32 equil state upcasts into an fp64 run)."""
+    import jax
+    import numpy as np
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten((ms.state, ms.topo))
+    assert len(leaves) == len(data.files), (len(leaves), len(data.files))
+    new = [np.asarray(data[f"l{i}"]).astype(np.asarray(l).dtype)
+           for i, l in enumerate(leaves)]
+    state, topo = jax.tree_util.tree_unflatten(treedef, new)
+    return ms.replace(state=state, topo=topo)
+
+
 def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "tpu-fp32"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
     mode = sys.argv[3] if len(sys.argv) > 3 else "nonreactive"
     equil_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 4000
+    save_path = load_path = None
+    smax = 32
+    for extra in sys.argv[5:]:
+        if extra.startswith("save="):
+            save_path = extra[5:]
+        elif extra.startswith("load="):
+            load_path = extra[5:]
+        elif extra.startswith("smax="):
+            # the hot equilibration phase transiently visits more diabats
+            # than the equilibrium ~20 (the S=32 cap overflowed at step
+            # 182 on the lattice-ish fixture); the production driver
+            # regrows, this study just runs with headroom
+            smax = int(extra[5:])
 
     import jax
     if config.startswith("cpu"):
@@ -52,7 +94,7 @@ def main():
     if mode == "reactive":
         system, cbw, cfg, ms = g._build(n_water=215, pme_grid=32,
                                         precision=precision,
-                                        evb_max_states=32)
+                                        evb_max_states=smax)
     else:
         import tempfile
         import jax.numpy as jnp
@@ -92,6 +134,17 @@ def main():
 
     from reactive_pb_nn_md_tpu.md import integrators
 
+    if load_path:
+        ms = _load_state(load_path, ms)
+        # the fresh build's neighbor list and forces refer to the fixture
+        # lattice, not the loaded configuration: rebuild from scratch at
+        # the same static capacities
+        ms = integrators.initial_md_state(
+            ms.state, ms.topo, system, cbw, ms.nlist.capacity,
+            cells=ms.nlist.cells or None,
+            react_cap=ms.nlist.react_cap or None)
+        print(f"# loaded equilibrated state from {load_path}", flush=True)
+
     chunk = 40       # matches the bench scan length (compile-cache hit)
 
     def flags(diag, done):
@@ -126,6 +179,10 @@ def main():
         print(f"# equilibrated {done} rescaled-NVE steps, "
               f"{time.time() - t0:.0f} s, KE={ke:.1f} -> {ke_target:.1f}",
               flush=True)
+    if save_path:
+        _save_state(save_path, ms)
+        print(f"# saved equilibrated state to {save_path}", flush=True)
+        return
 
     etots = []
     t0 = time.time()

@@ -46,6 +46,11 @@ class SimConfig:
 
     # TPU-native extensions
     precision: str = "fp32"              # fp32 | fp64 | mixed
+    # Kahan-compensated x/v accumulation in the integrator: recovers most
+    # of the fp64 integration accuracy at fp32 state + force cost (two
+    # extra (N,3) carries; see md/integrators.two_sum_add).  Measured by
+    # scripts/drift_study.py.
+    compensated_sum: bool = False
     evb_max_states: int = 80
     # growth ceiling for the driver's automatic evb_max_states regrow on
     # diabat overflow (the reference hard-stops at its compile-time cap,
@@ -93,6 +98,7 @@ _BOOL_STRING_KEYS = {
     "ms_evb_simulation": "ms_evb_simulation",
     "print_ms_evb_data": "print_ms_evb_data",
     "verlet_allpairs": "verlet_allpairs",
+    "compensated_sum": "compensated_sum",
 }
 _INT_KEYS = {"n_step", "n_output", "n_exclusions", "checkpoint_velocity",
              "barofreq", "na_nslist", "nb_nslist", "nc_nslist", "pme_grid",

@@ -27,6 +27,24 @@ from . import velocities
 
 
 @struct.dataclass
+class CompCarry:
+    """Kahan compensation residuals for the integrator's x/v accumulators
+    (present only when System.compensated_sum; None otherwise)."""
+    x: jnp.ndarray                # (N,3) position-sum residual
+    v: jnp.ndarray                # (N,3) velocity-sum residual
+
+
+def two_sum_add(acc, delta, carry):
+    """One compensated accumulation step: acc += delta with a running
+    residual `carry` (Kahan/Neumaier form).  The optimization barrier pins
+    the rounding of `acc + delta` so XLA's algebraic simplifier cannot
+    cancel `(t - acc)` back to `delta` and zero the compensation."""
+    d = delta + carry
+    t = jax.lax.optimization_barrier(acc + d)
+    return t, d - (t - acc)
+
+
+@struct.dataclass
 class MDState:
     state: State
     topo: Topology
@@ -49,6 +67,8 @@ class MDState:
     # of every state in the set the eigenvector refers to
     hydronium_of: jnp.ndarray     # (S,) int32
     n_hops_of: jnp.ndarray        # (S,) int32
+    # Kahan carries (None unless System.compensated_sum)
+    comp: Optional[CompCarry] = None
 
 
 def wrap_molecules(x, box, topo: Topology, mass):
@@ -141,9 +161,23 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
 
     key, k1, k2 = jax.random.split(state.key, 3)
 
+    # compensated accumulation only applies to the plain (non-Langevin)
+    # kick: the Langevin half-update is not a pure add and its noise floor
+    # dwarfs fp32 rounding anyway
+    compensated = system.compensated_sum and ensemble in ("NVE", "NPT")
+
+    def masked_two_sum(acc, delta, carry):
+        t, c = two_sum_add(acc, delta, carry)
+        return jnp.where(mobile, t, acc), jnp.where(mobile, c, carry)
+
     # first half kick + drift
-    v = jnp.where(mobile, kick(state.v, ms.force, k1), state.v)
-    x = jnp.where(mobile, state.x + v * dt, state.x)
+    if compensated:
+        xc, vc = ms.comp.x, ms.comp.v
+        v, vc = masked_two_sum(state.v, dt / 2.0 * ms.force / mass * conv, vc)
+        x, xc = masked_two_sum(state.x, v * dt, xc)
+    else:
+        v = jnp.where(mobile, kick(state.v, ms.force, k1), state.v)
+        x = jnp.where(mobile, state.x + v * dt, state.x)
     x, com = wrap_molecules(x, state.box, topo, system.mass)
 
     # neighbor rebuild when displacements exceed the skin
@@ -159,7 +193,12 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
     force = fe.force
 
     # second half kick with new forces
-    v = jnp.where(mobile, kick(v, force, k2), v)
+    if compensated:
+        v, vc = masked_two_sum(v, dt / 2.0 * force / mass * conv, vc)
+        comp = CompCarry(x=xc, v=vc)
+    else:
+        v = jnp.where(mobile, kick(v, force, k2), v)
+        comp = ms.comp
     force_overflow = jnp.any(jnp.abs(force) > 1.0e4)
     v = velocities.remove_com_momentum(v, system.mass, mobile[:, 0])
 
@@ -178,7 +217,8 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
                    n_states=fe.n_states, eigenvector=fe.eigenvector,
                    hopped=fe.hopped, force_overflow=force_overflow,
                    nbr_overflow=nbr_over, evb_overflow=fe.evb_overflow,
-                   hydronium_of=fe.hydronium_of, n_hops_of=fe.n_hops_of)
+                   hydronium_of=fe.hydronium_of, n_hops_of=fe.n_hops_of,
+                   comp=comp)
 
 
 @struct.dataclass
@@ -255,9 +295,12 @@ def initial_md_state(state: State, topo: Topology, system: System, cbw,
                                       build_half=build_half)
     fe = evaluate_forces(state.x, state.box, topo, system, nlist, cbw)
     ke = velocities.kinetic_energy(state.v, system.mass)
+    comp = (CompCarry(x=jnp.zeros_like(state.x), v=jnp.zeros_like(state.v))
+            if system.compensated_sum else None)
     return MDState(state=state, topo=fe.topo, nlist=nlist, force=fe.force,
                    potential=fe.potential, breakdown=fe.breakdown, kinetic=ke,
                    n_states=fe.n_states, eigenvector=fe.eigenvector,
                    hopped=fe.hopped, force_overflow=jnp.asarray(False),
                    nbr_overflow=nlist.overflow, evb_overflow=fe.evb_overflow,
-                   hydronium_of=fe.hydronium_of, n_hops_of=fe.n_hops_of)
+                   hydronium_of=fe.hydronium_of, n_hops_of=fe.n_hops_of,
+                   comp=comp)

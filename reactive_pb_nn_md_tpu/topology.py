@@ -144,6 +144,8 @@ class System:
     ms_evb: bool = struct.field(pytree_node=False, default=False)
     has_sapt: bool = struct.field(pytree_node=False, default=False)
     eigensolver: str = struct.field(pytree_node=False, default="eigh")
+    # Kahan-compensated integrator carries (md/integrators.two_sum_add)
+    compensated_sum: bool = struct.field(pytree_node=False, default=False)
     # static cell grid for the fused Pallas real-space pair kernel
     # (ops/pallas/realspace_pair.py); () = use the XLA half-list path
     rs_cells: tuple = struct.field(pytree_node=False, default=())
@@ -599,6 +601,7 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         ms_evb=bool(cfg.ms_evb_simulation),
         has_sapt=bool((vdw_type == 1).any()),
         eigensolver=str(getattr(cfg, "eigensolver", "eigh")),
+        compensated_sum=bool(getattr(cfg, "compensated_sum", False)),
         rs_cells=_suggest_rs_cells_safe(N, gro.box, cfg.real_space_cutoff),
     )
     return system, topo

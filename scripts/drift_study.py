@@ -8,6 +8,8 @@ Usage:
     python scripts/drift_study.py tpu-fp32 [steps] [reactive|nonreactive] [equil_steps]
     python scripts/drift_study.py cpu-fp32 [steps] [...]
     python scripts/drift_study.py cpu-fp64 [steps] [...]
+    python scripts/drift_study.py tpu-fp32-comp [...]   (Kahan-compensated
+        integrator carries: fp32 state/forces, ~fp64 accumulation)
 
 Optional 5th/6th args share one equilibrated state across configs so
 every arithmetic runs the SAME initial condition (the decomposition is
@@ -82,7 +84,10 @@ def main():
     import jax
     if config.startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
-    precision = "fp64" if config.endswith("fp64") else "fp32"
+    # "-comp" suffix: Kahan-compensated integrator carries at fp32
+    compensated = config.endswith("-comp")
+    base = config[:-5] if compensated else config
+    precision = "fp64" if base.endswith("fp64") else "fp32"
 
     import numpy as np
     import __graft_entry__ as g
@@ -94,7 +99,8 @@ def main():
     if mode == "reactive":
         system, cbw, cfg, ms = g._build(n_water=215, pme_grid=32,
                                         precision=precision,
-                                        evb_max_states=smax)
+                                        evb_max_states=smax,
+                                        compensated=compensated)
     else:
         import tempfile
         import jax.numpy as jnp
@@ -111,8 +117,10 @@ def main():
         ff_p, top_p, sim_p = write_fixture_files(
             tmp, msevb="no", cutoff=4.5, verlet_cutoff=5.5, alpha=0.7,
             pme_grid=32)
-        (tmp / "sim.pmt").write_text(
-            (tmp / "sim.pmt").read_text().replace("fp64", precision))
+        sim_txt = (tmp / "sim.pmt").read_text().replace("fp64", precision)
+        if compensated:
+            sim_txt += "compensated_sum   yes\n"
+        (tmp / "sim.pmt").write_text(sim_txt)
         frame = make_water_box(216, include_h3o=False, seed=0)
         cfg = read_sim_params(sim_p)
         system, topo = build_system(frame, read_ffpmt(ff_p),

@@ -150,3 +150,80 @@ def test_cli_and_exact_restart(tmp_path):
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(chk9["v"], chk_restart["v"],
                                rtol=1e-10, atol=1e-10)
+
+
+def test_two_sum_add_compensation():
+    """The Kahan carry must survive XLA compilation (the optimization
+    barrier in two_sum_add pins the rounding); accumulate a delta below
+    half-ulp of the accumulator at fp32: the plain sum loses every add,
+    the compensated sum recovers them."""
+    import jax
+    import jax.numpy as jnp
+    from reactive_pb_nn_md_tpu.md.integrators import two_sum_add
+
+    base = jnp.float32(4096.0)            # ulp(4096) = 2^-11 ~ 4.9e-4
+    delta = jnp.float32(1.0e-4)           # < ulp/2: plain adds all vanish
+    n = 8192
+
+    @jax.jit
+    def run(base, delta):
+        def body(carry, _):
+            acc, c = carry
+            acc2, c2 = two_sum_add(acc, delta, c)
+            return (acc2, c2), None
+
+        (acc, c), _ = jax.lax.scan(body, (base, jnp.float32(0.0)), None,
+                                   length=n)
+
+        def body_plain(acc, _):
+            return acc + delta, None
+
+        plain, _ = jax.lax.scan(body_plain, base, None, length=n)
+        return acc + c, plain
+
+    comp, plain = run(base, delta)
+    exact = 4096.0 + n * 1.0e-4
+    assert abs(float(comp) - exact) < 1e-2, (float(comp), exact)
+    # the plain fp32 sum must have lost a visible fraction (sanity that the
+    # test exercises the rounding regime at all)
+    assert abs(float(plain) - exact) > 0.05, (float(plain), exact)
+
+
+def test_compensated_step_equals_plain_from_zero_carry(tmp_path):
+    """With zero carries the compensated update performs the identical
+    arithmetic (d = delta + 0 is exact): positions after one step match the
+    plain integrator bit-for-bit (first kick + drift both start from zero
+    carries); velocities differ only by the second kick's carry -- one
+    rounding error -- so they match to ~1 ulp.  Pins the wiring."""
+    from reactive_pb_nn_md_tpu.md import integrators
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    simA = _sim(tmp_path / "a", n_water=16, msevb="no")
+    simB = _sim(tmp_path / "b", n_water=16, msevb="no",
+                extra="compensated_sum    yes\n")
+    assert simB.system.compensated_sum and not simA.system.compensated_sum
+    assert simB.ms.comp is not None and simA.ms.comp is None
+    a = integrators.md_step(simA.ms, simA.system, simA.cbw,
+                            simA.cfg.delta_t, "NVE")
+    b = integrators.md_step(simB.ms, simB.system, simB.cbw,
+                            simB.cfg.delta_t, "NVE")
+    np.testing.assert_array_equal(np.asarray(a.state.x),
+                                  np.asarray(b.state.x))
+    np.testing.assert_allclose(np.asarray(a.state.v),
+                               np.asarray(b.state.v),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_compensated_nve_conserves(tmp_path):
+    """Compensated NVE runs and conserves energy (scan path, carries
+    threaded through the chunk)."""
+    from reactive_pb_nn_md_tpu.md import integrators
+    sim = _sim(tmp_path, n_water=64, msevb="no",
+               extra="compensated_sum    yes\n")
+    ms, diag = integrators.md_scan(sim.ms, sim.system, sim.cbw,
+                                   sim.cfg.delta_t, "NVE", 80)
+    etot = np.asarray(diag.potential) + np.asarray(diag.kinetic)
+    assert np.all(np.isfinite(etot))
+    ke = float(np.asarray(diag.kinetic)[-1])
+    assert abs(etot[-1] - etot[0]) < 0.01 * ke
+    assert ms.comp is not None

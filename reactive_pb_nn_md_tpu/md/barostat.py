@@ -60,8 +60,10 @@ class MCBarostat:
                                        system.verlet_cutoff)
 
         state_new = ms.state.replace(x=x_new, box=new_box)
-        fe = integrators.evaluate_forces(x_new, new_box, ms.topo, system,
-                                         nlist, new_cbw)
+        eval_fn = (integrators.evaluate_forces
+                   if jax.default_backend() == "cpu"
+                   else integrators._evaluate_forces_jit)
+        fe = eval_fn(x_new, new_box, ms.topo, system, nlist, new_cbw)
 
         kT = KB * self.temperature
         dE = float(fe.potential) - float(ms.potential)
@@ -74,13 +76,18 @@ class MCBarostat:
         accept = w < 0 or self.rng.uniform() <= np.exp(-w / kT)
         if accept:
             self.n_accept += 1
+            # a box rescale invalidates any Kahan position carry (the
+            # residuals refer to the pre-scale coordinates): restart them
+            comp = ms.comp
+            if comp is not None:
+                comp = comp.replace(x=jnp.zeros_like(comp.x))
             ms = ms.replace(state=state_new, topo=fe.topo, nlist=nlist,
                             force=fe.force, potential=fe.potential,
                             breakdown=fe.breakdown, n_states=fe.n_states,
                             eigenvector=fe.eigenvector, hopped=fe.hopped,
                             evb_overflow=fe.evb_overflow,
                             hydronium_of=fe.hydronium_of,
-                            n_hops_of=fe.n_hops_of)
+                            n_hops_of=fe.n_hops_of, comp=comp)
             cbw = new_cbw
 
         if self.n_trials > 10:

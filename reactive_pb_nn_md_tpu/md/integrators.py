@@ -146,6 +146,14 @@ def evaluate_forces(x, box, topo, system: System, nlist, cbw,
                      n_hops_of=jnp.zeros((S,), jnp.int32))
 
 
+# initial_md_state's one-off force evaluation, compiled: in eager mode the
+# reactive path is thousands of ops, and on a remote-tunnel TPU each eager
+# op costs a ~28 ms dispatch round-trip (40+ min of pure dispatch at init).
+# CPU keeps the eager path: its dispatch is free and tests would pay an
+# extra compile per fixture otherwise.
+_evaluate_forces_jit = jax.jit(evaluate_forces)
+
+
 @functools.partial(jax.jit, static_argnames=("ensemble",))
 def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
             friction: float = 0.1, temperature: float = 300.0) -> MDState:
@@ -293,7 +301,9 @@ def initial_md_state(state: State, topo: Topology, system: System, cbw,
                                       react_cutoff=react_cutoff,
                                       react_cap=react_cap,
                                       build_half=build_half)
-    fe = evaluate_forces(state.x, state.box, topo, system, nlist, cbw)
+    eval_fn = (evaluate_forces if jax.default_backend() == "cpu"
+               else _evaluate_forces_jit)
+    fe = eval_fn(state.x, state.box, topo, system, nlist, cbw)
     ke = velocities.kinetic_energy(state.v, system.mass)
     comp = (CompCarry(x=jnp.zeros_like(state.x), v=jnp.zeros_like(state.v))
             if system.compensated_sum else None)

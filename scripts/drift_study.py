@@ -52,11 +52,15 @@ def _load_state(path, ms):
     """Replace (state, topo) leaves with the saved ones, cast to the
     fresh build's dtypes (fp32 equil state upcasts into an fp64 run)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten((ms.state, ms.topo))
     assert len(leaves) == len(data.files), (len(leaves), len(data.files))
-    new = [np.asarray(data[f"l{i}"]).astype(np.asarray(l).dtype)
+    # jnp leaves, not numpy: the vmapped enumeration indexes topology
+    # tables with tracers, which numpy arrays reject in eager mode
+    new = [jnp.asarray(np.asarray(data[f"l{i}"]).astype(
+               np.asarray(l).dtype))
            for i, l in enumerate(leaves)]
     state, topo = jax.tree_util.tree_unflatten(treedef, new)
     return ms.replace(state=state, topo=topo)

@@ -205,6 +205,7 @@ def main():
         return
 
     etots = []
+    max_states = 0
     t0 = time.time()
     done = 0
     while done < n_steps:
@@ -212,6 +213,7 @@ def main():
                                        "NVE", chunk)
         e = np.asarray(diag.potential) + np.asarray(diag.kinetic)
         etots.append(e)
+        max_states = max(max_states, int(np.asarray(diag.n_states).max()))
         done += chunk
         bad = flags(diag, done)
         if bad or not np.isfinite(e[-1]):
@@ -229,6 +231,7 @@ def main():
     ke = float(np.asarray(diag.kinetic)[-1])
     print(f"{config} {mode} steps={n_steps} dt_ps={cfg.delta_t} "
           f"E0={e[0]:.4f} E1={e[-1]:.4f} KE={ke:.1f} "
+          f"max_states={max_states} "
           f"drift_per_ps={slope:.4f} "
           f"drift_pct_of_KE_per_ps={100.0 * slope / ke:.4f}")
 

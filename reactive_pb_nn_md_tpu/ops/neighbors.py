@@ -237,18 +237,28 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
     rank = ar - run_start
     cell_over = jnp.any(rank >= ccap)
 
-    # packed (position, atom id) cell table: candidate extraction below is
-    # ONE (N, 27)-row gather of (ccap, 4) blocks.  The previous form (an
-    # element-indexed id table + an (N*27*ccap)-row position gather) cost
-    # ~12 ms/step at 10^4 atoms -- TPU gathers serialize per row/element,
-    # so candidates must be fetched as packed BLOCKS, not elements.
+    # packed (fractional position, atom id) cell table, COMPONENT-MAJOR:
+    # each cell's row is [fx(ccap) | fy(ccap) | fz(ccap) | id(ccap)], so
+    # candidate extraction is ONE (N, 27)-row gather of 4*ccap-lane rows
+    # and components come out as static lane-dim slices.  Two earlier
+    # forms were measured slower at 10^4 atoms: an element-indexed id
+    # table + per-element position gathers (~12 ms/step -- TPU gathers
+    # serialize per row/element), and (ccap, 4)-interleaved blocks whose
+    # trailing dim of 4 forced stride-4 lane relayouts on every consumer
+    # (~4 ms/step of "data formatting").  Fractional coordinates make the
+    # minimum image per-component (fold by round) for ANY box, with the
+    # cartesian distance reconstructed by a fused 3x3 row transform.
     f = x.dtype
     slot = jnp.where(rank < ccap, sorted_id * ccap + rank, n_cells * ccap)
-    pv = jnp.concatenate([x[order], order[:, None].astype(f)], axis=1)
-    ptab = jnp.full((n_cells * ccap + 1, 4), jnp.asarray(N, f), f)
-    # empty slots keep position (N, N, N, N): id N marks invalid below, and
-    # the bogus position is harmless (masked before any distance use)
-    ptab = ptab.at[slot].set(pv)
+
+    def cell_tab(v, fill):
+        t = jnp.full((n_cells * ccap + 1,), jnp.asarray(fill, f), f)
+        return t.at[slot].set(v.astype(f))[:-1].reshape(n_cells, ccap)
+
+    fo = frac[order]
+    tab = jnp.concatenate([cell_tab(fo[:, 0], 0), cell_tab(fo[:, 1], 0),
+                           cell_tab(fo[:, 2], 0), cell_tab(order, N)],
+                          axis=1)                               # (n_cells, 4c)
 
     # 27-stencil candidate cells per atom
     off = jnp.arange(-1, 2, dtype=jnp.int32)
@@ -256,13 +266,16 @@ def build_neighbor_list_cell(x, box, cutoff, capacity, cells,
                    axis=-1).reshape(27, 3)                      # (27, 3)
     nbc = jnp.mod(ci[:, None, :] + o3[None], ncv)               # (N, 27, 3)
     nb_id = (nbc[..., 0] * nc2 + nbc[..., 1]) * nc3 + nbc[..., 2]
-    blocks = ptab[:-1].reshape(n_cells, ccap * 4)[nb_id]        # (N, 27, ...)
-    blocks = blocks.reshape(N, 27 * ccap, 4)
-    xj = blocks[..., 0:3]
-    cand = jnp.round(blocks[..., 3]).astype(jnp.int32)          # (N, 27*ccap)
+    blocks = tab[nb_id]                                         # (N, 27, 4c)
 
-    dr = pbc.min_image(x[:, None, :] - xj, box)
-    d2 = jnp.sum(dr * dr, axis=-1)
+    def comp(k):
+        return blocks[:, :, k * ccap:(k + 1) * ccap].reshape(N, 27 * ccap)
+
+    cand = jnp.round(comp(3)).astype(jnp.int32)                 # (N, 27*ccap)
+    df = [frac[:, k:k + 1] - comp(k) for k in range(3)]
+    df = [d - jnp.floor(d + 0.5) for d in df]                   # min image
+    d2 = sum((df[0] * box[0, k] + df[1] * box[1, k]
+              + df[2] * box[2, k]) ** 2 for k in range(3))
     i_idx = ar[:, None]
     fmask = (cand < N) & (cand != i_idx) & (d2 < cutoff2)
 

@@ -74,6 +74,10 @@ def run_bench(platform, precision, n_steps, warmup):
     import math
     assert math.isfinite(pot), "non-finite potential"
     assert not bool(diag.nbr_overflow.any()), "neighbor overflow"
+    # a silently truncated state set would still produce a plausible-looking
+    # steps/s number; the drift study showed equilibrated liquid needs S up
+    # to ~76 while this lattice-ish 120-step window stays under 32
+    assert not bool(diag.evb_overflow.any()), "EVB state-cap overflow"
     ms = ms.replace(n_states=diag.n_states[-1])
     return done / dt, system, ms, (scan, ms, chunk)
 

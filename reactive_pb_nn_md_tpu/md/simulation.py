@@ -110,6 +110,11 @@ class Simulation:
                           key=jnp.asarray(chk["key"]),
                           step=jnp.asarray(int(chk["step"]), jnp.int32))
             self.start_step = int(chk["step"])
+            # Kahan carries (present iff the run used compensated_sum):
+            # restored below so compensated restarts stay bit-exact
+            if "comp_x" in chk.files:
+                self._chk_comp = (np.asarray(chk["comp_x"]),
+                                  np.asarray(chk["comp_v"]))
         elif self.text_restart:
             # statistical continuation (reference semantics: positions from
             # the trajectory tail, velocities from the text checkpoint, RNG
@@ -151,6 +156,11 @@ class Simulation:
             state, topo, self.system, self.cbw, self.capacity, self.cells)
         self.react_cap = self.ms.nlist.react_cap or None
         self._retry_capacity_if_overflow()
+        if getattr(self, "_chk_comp", None) and self.ms.comp is not None:
+            cx, cv = self._chk_comp
+            self.ms = self.ms.replace(comp=self.ms.comp.replace(
+                x=jnp.asarray(cx, self.ms.comp.x.dtype),
+                v=jnp.asarray(cv, self.ms.comp.v.dtype)))
 
         self.barostat = None
         if self.cfg.ensemble == "NPT":
@@ -354,12 +364,17 @@ class Simulation:
         with open(self.text_chk, "a") as fh:
             fh.write(format_velocity_checkpoint(step, names, natom,
                                                 anames, v))
+        extra = {}
+        if self.ms.comp is not None:
+            extra["comp_x"] = np.asarray(self.ms.comp.x)
+            extra["comp_v"] = np.asarray(self.ms.comp.v)
         np.savez(self.files["chk"],
                  x=np.asarray(self.ms.state.x),
                  v=np.asarray(self.ms.state.v),
                  box=np.asarray(self.ms.state.box),
                  key=np.asarray(self.ms.state.key),
                  step=step,
+                 **extra,
                  mol_mtype=np.asarray(topo.mol_mtype),
                  mol_natom=np.asarray(topo.mol_natom),
                  mol_atoms=np.asarray(topo.mol_atoms),

@@ -227,3 +227,36 @@ def test_compensated_nve_conserves(tmp_path):
     ke = float(np.asarray(diag.kinetic)[-1])
     assert abs(etot[-1] - etot[0]) < 0.01 * ke
     assert ms.comp is not None
+
+
+def test_compensated_exact_restart(tmp_path):
+    """Restarting a compensated_sum run must restore the Kahan carries from
+    the checkpoint: the continued trajectory matches an uninterrupted run."""
+    from reactive_pb_nn_md_tpu.run import cli
+    gro_p, ff_p, top_p, sim_p = _write_inputs(
+        tmp_path, 16, "no", n_step=6,
+        extra="compensated_sum    yes\n")
+    text = open(sim_p).read() + "checkpoint_velocity   3\n"
+    open(sim_p, "w").write(text)
+    os.chdir(tmp_path)
+
+    args = [gro_p, ff_p, top_p, sim_p, str(tmp_path / "t.gro"),
+            str(tmp_path / "l.out"), str(tmp_path / "h.out"),
+            str(tmp_path / "a.out")]
+    cli.main(args + ["--steps", "9"])
+    chk9 = dict(np.load("velocity_checkpoint.npz"))
+    assert "comp_x" in chk9 and "comp_v" in chk9
+
+    for f in ["t.gro", "l.out", "h.out", "velocity_checkpoint.npz"]:
+        p = tmp_path / f
+        if p.exists():
+            p.unlink()
+    cli.main(args + ["--steps", "6"])
+    cli.main(args + ["--steps", "3"])      # auto-detects restart
+    chk_r = dict(np.load("velocity_checkpoint.npz"))
+
+    assert int(chk_r["step"]) == 9
+    np.testing.assert_allclose(chk9["x"], chk_r["x"], rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(chk9["v"], chk_r["v"], rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(chk9["comp_x"], chk_r["comp_x"],
+                               rtol=1e-10, atol=1e-14)

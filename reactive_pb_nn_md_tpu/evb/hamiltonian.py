@@ -37,7 +37,8 @@ def _recip_batched(x, box, batch: DiabatBatch, system: System, cbw,
     """Per-diabat reciprocal energies: base grid + batched delta scatters of
     only the changed atoms + ONE batched FFT."""
     K = system.pme_grid
-    Q0 = pme.charge_grid(x, base_charge, box, K, system.spline_order)
+    Q0 = pme.charge_grid(x, base_charge, box, K, system.spline_order,
+                         scap=system.pme_scap)
 
     def dq_one(topo_d, changed, cmask):
         dq = topo_d.charge[jnp.maximum(changed, 0)] \
@@ -298,7 +299,7 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     # -- no per-diabat FFTs, no materialized per-atom spectrum); exact by
     # linearity of the spreading
     Q0 = pme.charge_grid(x, base_charge, box, system.pme_grid,
-                         system.spline_order)
+                         system.spline_order, scap=system.pme_scap)
     F0 = jnp.fft.rfftn(Q0)
     from ..utils.constants import CONV_E2A_KJMOL
     e0 = 0.5 * CONV_E2A_KJMOL * jnp.sum(

@@ -219,6 +219,12 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
         from ..ops.pallas.realspace_pair import rs_cell_overflow
         nbr_over = nbr_over | rs_cell_overflow(
             x, state.box, system.rs_cells, system.real_space_cutoff)
+    from ..models.pme import _pallas_spread_active
+    if system.pme_scap and _pallas_spread_active(x.dtype):
+        from ..ops.pallas.pme_slab import pme_slab_overflow
+        nbr_over = nbr_over | pme_slab_overflow(
+            x, state.box, system.pme_grid, system.spline_order,
+            system.pme_scap)
     new_state = State(x=x, v=v, box=state.box, key=key, step=state.step + 1)
     return MDState(state=new_state, topo=fe.topo, nlist=nlist, force=force,
                    potential=fe.potential, breakdown=fe.breakdown, kinetic=ke,

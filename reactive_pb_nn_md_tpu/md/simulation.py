@@ -188,6 +188,10 @@ class Simulation:
                 n1, n2, n3, rcap = self.system.rs_cells
                 self.system = self.system.replace(
                     rs_cells=(n1, n2, n3, rcap + 8))
+            if self.system.pme_scap:
+                # and the PME slab-spread capacity (same shared flag)
+                self.system = self.system.replace(
+                    pme_scap=self.system.pme_scap + 16)
             self.ms = integrators.initial_md_state(
                 self.ms.state, self.ms.topo, self.system, self.cbw,
                 self.capacity, self.cells, react_cap=self.react_cap)

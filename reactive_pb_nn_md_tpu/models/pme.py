@@ -72,15 +72,22 @@ def charge_grid_xla(x, q, box, K, order):
     return Q.reshape(K, K, K)
 
 
-def charge_grid(x, q, box, K, order):
+def charge_grid(x, q, box, K, order, scap=0):
     """Q grid from all atoms (grid_Q).
 
-    Dispatches to the Pallas VMEM-resident spread kernel on TPU fp32
-    (ops/pallas/pme_spread.py; measured 2.7x faster fwd+bwd at K=32 and 9x
-    at K=64 vs the XLA scatter-add, scripts/time_pme_spread.py), else the
-    XLA path.  Note the Pallas VJP returns a zero box cotangent (no virial
-    through the grid; nothing differentiates wrt the box)."""
+    On TPU fp32 this dispatches to a Pallas kernel instead of the XLA
+    scatter-add: with a static per-slab capacity (scap > 0, from
+    System.pme_scap / pme_slab.suggest_slab_cap) the slab-binned MXU
+    kernel (ops/pallas/pme_slab.py); otherwise the per-atom VMEM spread
+    (ops/pallas/pme_spread.py; 2.7x faster fwd+bwd at K=32 and 9x at
+    K=64 vs XLA -- the slab kernel is faster still, see
+    scripts/time_pme_spread.py).  Note the Pallas VJPs return a zero box
+    cotangent (no virial through the grid; nothing differentiates wrt
+    the box)."""
     if _pallas_spread_active(x.dtype):
+        if scap:
+            from ..ops.pallas.pme_slab import charge_grid_slab
+            return charge_grid_slab(x, q, box, K, order, scap)
         from ..ops.pallas.pme_spread import charge_grid_pallas
         return charge_grid_pallas(x, q, box, K, order)
     return charge_grid_xla(x, q, box, K, order)

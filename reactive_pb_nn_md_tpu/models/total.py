@@ -240,7 +240,8 @@ def total_energy(x, box, topo: Topology, system: System, pairs, cbw):
     e_intra_elec, e_intra_vdw = intra_nonbonded(x, box, topo, system)
 
     K = system.pme_grid
-    Q = pme.charge_grid(x, topo.charge, box, K, system.spline_order)
+    Q = pme.charge_grid(x, topo.charge, box, K, system.spline_order,
+                        scap=system.pme_scap)
     e_recip = pme.recip_energy(Q, cbw)
     e_self = pme.ewald_self(topo.charge, system.alpha_sqrt)
 

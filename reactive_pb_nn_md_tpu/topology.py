@@ -149,6 +149,9 @@ class System:
     # static cell grid for the fused Pallas real-space pair kernel
     # (ops/pallas/realspace_pair.py); () = use the XLA half-list path
     rs_cells: tuple = struct.field(pytree_node=False, default=())
+    # static per-slab capacity for the slab-binned Pallas PME spread
+    # (ops/pallas/pme_slab.py); 0 = use the per-atom spread kernel
+    pme_scap: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -603,8 +606,24 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         eigensolver=str(getattr(cfg, "eigensolver", "eigh")),
         compensated_sum=bool(getattr(cfg, "compensated_sum", False)),
         rs_cells=_suggest_rs_cells_safe(N, gro.box, cfg.real_space_cutoff),
+        pme_scap=_suggest_slab_cap_safe(N, int(cfg.pme_grid)),
     )
     return system, topo
+
+
+def _suggest_slab_cap_safe(n_atoms, K, order=6):
+    from .ops.pallas.pme_slab import suggest_slab_cap
+    if K + order - 1 > 128:     # grid row exceeds the kernel's lane segment
+        return 0
+    if n_atoms < 48 * K:
+        # measured crossover on v5e: below ~50 atoms/slab the per-atom
+        # VMEM spread kernel wins (649 atoms/K=32: 0.63 vs 0.68 ms f+bwd);
+        # above it the slab kernel wins big (10k/K=64: 2.1 vs 4.1 ms)
+        return 0
+    try:
+        return suggest_slab_cap(n_atoms, K)
+    except Exception:  # noqa: BLE001
+        return 0
 
 
 def _suggest_rs_cells_safe(n_atoms, box, cutoff):

@@ -52,14 +52,22 @@ def main():
         print(f"{name:24s}: {dt:8.3f} ms   (check {v:.1f})")
         return dt
 
+    from reactive_pb_nn_md_tpu.ops.pallas import pme_slab
+    scap = pme_slab.suggest_slab_cap(n, K)
+    print(f"# slab scap={scap}")
+
     def xla_fwd(xx, qq):
-        return pme.charge_grid(xx, qq, box, K, order)
+        return pme.charge_grid_xla(xx, qq, box, K, order)
 
     def pal_fwd(xx, qq):
         return pme_spread.charge_grid_pallas(xx, qq, box, K, order)
 
+    def slab_fwd(xx, qq):
+        return pme_slab.charge_grid_slab(xx, qq, box, K, order, scap)
+
     bench("xla spread fwd", xla_fwd)
     bench("pallas spread fwd", pal_fwd)
+    bench("slab spread fwd", slab_fwd)
 
     def grad_of(fn):
         def e(xx, qq):
@@ -72,6 +80,7 @@ def main():
 
     bench("xla spread f+bwd", grad_of(xla_fwd))
     bench("pallas spread f+bwd", grad_of(pal_fwd))
+    bench("slab spread f+bwd", grad_of(slab_fwd))
 
 
 if __name__ == "__main__":

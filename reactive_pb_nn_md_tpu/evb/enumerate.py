@@ -43,6 +43,9 @@ class DiabatSet:
     parent: jnp.ndarray         # (S,) int32, -1 for state 0
     hydronium_of: jnp.ndarray   # (S,) int32: acid molecule of each diabat
     overflow: jnp.ndarray       # () bool
+    # a rows_on_demand extraction exceeded its row capacity (cell path);
+    # handled by the driver's NEIGHBOR regrow, not the state-cap regrow
+    row_overflow: jnp.ndarray = None    # () bool or None
 
 
 def molecule_com(x, topo: Topology, mass, box=None):
@@ -80,11 +83,15 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
     evb_reactive_pair_distance (2.5 A) < real_space_cutoff <= the list's
     coverage even at maximum skin drift; rows are in ascending-j order for
     the dense build, so the discovered state order is unchanged."""
+    from ..ops import neighbors as nbr_mod
     x = jax.lax.stop_gradient(x)
     S = system.evb_max_states
     C = system.evb_max_chain
     Anb = min(system.evb_max_neighbors, system.n_atoms)
-    if full_idx is not None:
+    on_demand = isinstance(full_idx, nbr_mod.CellTable)
+    if on_demand:
+        Anb = min(Anb, full_idx.row_cap)
+    elif full_idx is not None:
         # a row narrower than Anb cannot hold Anb candidates anyway;
         # without the clamp top_k(k=Anb) is a trace-time error on dilute
         # systems whose adjacency rows are thinner than evb_max_neighbors
@@ -113,6 +120,7 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
     meta = meta.at[:, 0].set(0).at[:, 3].set(0)
     meta = meta.at[0, 2].set(principle_h)
     overflow = jnp.asarray(False)
+    row_overflow = jnp.asarray(False)
 
     def expand_one(d, active):
         """Candidates (A, Anb) for donor molecule d (principle topology)."""
@@ -126,6 +134,7 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         d_atoms = topo.mol_atoms[d]                        # (A,)
         proton_ok = (mt.reactive_protons[d_mtype] > 0) & (d_atoms >= 0)
         g_p = jnp.maximum(d_atoms, 0)
+        row_over = jnp.asarray(False)
         if full_idx is None:
             pj = packed[None, :, :]                        # (1, N, 5)
             row_ok = True
@@ -133,7 +142,12 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
                 jnp.arange(x.shape[0], dtype=jnp.int32)[None, :],
                 (g_p.shape[0], x.shape[0]))                # (A, N)
         else:
-            rows = full_idx[g_p]                           # (A, Kf)
+            if on_demand:
+                rows, over_r = nbr_mod.rows_on_demand(
+                    full_idx, x, box, g_p)                 # (A, Kr)
+                row_over = jnp.any(over_r & proton_ok)
+            else:
+                rows = full_idx[g_p]                       # (A, Kf)
             row_ok = rows >= 0
             jg = jnp.maximum(rows, 0)
             pj = packed[jg]                                # one gather
@@ -154,7 +168,7 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         heavy_slot = mt.bonded_heavy_slot[d_mtype]         # (A,)
         heavy_g = jnp.where(heavy_slot >= 0,
                             d_atoms[jnp.maximum(heavy_slot, 0)], -1)
-        return j_atom, g_p, heavy_g
+        return j_atom, g_p, heavy_g, row_over & active
 
     lvl_begin = jnp.asarray(0, jnp.int32)
     lvl_end = jnp.asarray(1, jnp.int32)
@@ -168,7 +182,8 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         at_level = (sidx_l >= lvl_begin) & (sidx_l < lvl_end) \
             & (meta[:SL, 3] == 0)
         d_all = jnp.maximum(meta[:SL, 2], 0)
-        j_atom, g_p, heavy_g = jax.vmap(expand_one)(d_all, at_level)
+        j_atom, g_p, heavy_g, r_over = jax.vmap(expand_one)(d_all, at_level)
+        row_overflow = row_overflow | jnp.any(r_over)
         # flatten (SL, A, Anb) in state-major, proton-major order (matches
         # the reference's per-donor proton loop ordering)
         j_flat = j_atom.reshape(-1)
@@ -209,4 +224,4 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
 
     return DiabatSet(n_states=lvl_end, hop_log=hop_log, n_hops=meta[:, 0],
                      parent=meta[:, 1], hydronium_of=meta[:, 2],
-                     overflow=overflow)
+                     overflow=overflow, row_overflow=row_overflow)

@@ -133,12 +133,14 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     from ..ops.lookup import pair_lookup
     from ..utils import pbc
 
+    from ..ops import neighbors as nbr_mod
     dset = batch.dset
     S = system.evb_max_states
     M = system.n_mole
     A = system.max_atoms_per_mol
     N = system.n_atoms
-    Kf = full_idx.shape[1]
+    on_demand = isinstance(full_idx, nbr_mod.CellTable)
+    Kf = full_idx.row_cap if on_demand else full_idx.shape[1]
     f = x.dtype
     # one-hot / energy contractions run bf16x3 (HIGH) instead of the
     # global f32 (x6) pin: one-hot operands are exact in bf16 and the
@@ -169,7 +171,16 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     # Positions and the four x-independent j-side per-atom values are
     # packed into one (N, 7) array -> ONE row gather for the whole sweep
     # (TPU gather cost is per-row; same trick as total.realspace_inter)
-    rows = full_idx[ua]                                    # (U, Kf)
+    if on_demand:
+        # extract ONLY the U rows from the persisted cell table -- the
+        # materialized (N, Kf) adjacency (and its top_k over all N rows at
+        # every rebuild) has no other consumer on this path
+        rows, over_r = nbr_mod.rows_on_demand(
+            full_idx, jax.lax.stop_gradient(x), box, ua)   # (U, Kf)
+        row_over = jnp.any(over_r & ua_mask)
+    else:
+        rows = full_idx[ua]                                # (U, Kf)
+        row_over = jnp.asarray(False)
     rmask = ua_mask[:, None] & (rows >= 0)
     j = jnp.maximum(rows, 0)
     packed = jnp.concatenate(
@@ -309,7 +320,7 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
         system.spline_order, cbw, F0)
 
     diag = bd0.total + deltas_rs + deltas_mol + extra + e_recip
-    return diag, bd0, e_recip
+    return diag, bd0, e_recip, row_over
 
 
 def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
@@ -389,7 +400,7 @@ def assemble_hamiltonian(x, box, batch: DiabatBatch, system: System,
         from .enumerate import molecule_com
         com0 = molecule_com(x, topo0, system.mass, box)
 
-    diag, bd0, e_recip = diabat_diagonal_energies(
+    diag, bd0, e_recip, row_over = diabat_diagonal_energies(
         x, box, batch, system, pairs, cbw, base_charge, topo0, full_idx)
     # fold the principle diabat's reciprocal energy into the reported
     # decomposition (E_elec includes recip+self, reference print_step)
@@ -408,7 +419,7 @@ def assemble_hamiltonian(x, box, batch: DiabatBatch, system: System,
     val = jnp.where((dset.parent >= 0) & active, offdiag, 0.0)
     H = H.at[par, sidx].add(val)
     H = H.at[sidx, par].add(val)
-    return H, bds, e_recip
+    return H, bds, e_recip, row_over
 
 
 @struct.dataclass
@@ -424,6 +435,9 @@ class EvbResult:
     overflow: jnp.ndarray
     hydronium_of: jnp.ndarray      # (S,) acid molecule of each diabat
     n_hops_of: jnp.ndarray         # (S,) chain length (solvation shell)
+    # an on-demand adjacency row exceeded its capacity (cell path);
+    # handled by the driver's NEIGHBOR regrow, not the state-cap regrow
+    row_overflow: jnp.ndarray = None
 
 
 def adiabatic_energy_force(x, box, topo: Topology, system: System,
@@ -457,9 +471,9 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
     from ..ops import ground_state as gs
 
     def etot(xx):
-        H, bds, _ = assemble_hamiltonian(xx, box, batch, system, pairs, cbw,
-                                         base_charge, topo, full_idx,
-                                         com0=com)
+        H, bds, _, row_over = assemble_hamiltonian(
+            xx, box, batch, system, pairs, cbw,
+            base_charge, topo, full_idx, com0=com)
         Hs = jax.lax.stop_gradient(H)
         if system.eigensolver == "iterative":
             _, c = gs.ground_state(Hs)
@@ -467,15 +481,19 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
             _, c = gs.ground_state_eigh(Hs)
         c = jax.lax.stop_gradient(c)
         e = c @ H @ c
-        return e, (H, c, bds)
+        return e, (H, c, bds, row_over)
 
-    (energy, (H, c, bds)), grad = jax.value_and_grad(etot, has_aux=True)(x)
+    (energy, (H, c, bds, row_over)), grad = \
+        jax.value_and_grad(etot, has_aux=True)(x)
 
+    if dset.row_overflow is not None:
+        row_over = row_over | dset.row_overflow
     principle = jnp.argmax(jnp.abs(c))
     new_h = dset.hydronium_of[principle]
     result = EvbResult(
         energy=energy, force=-grad, eigenvector=c, n_states=dset.n_states,
         principle=principle.astype(jnp.int32), new_hydronium=new_h,
         hamiltonian=H, breakdown=bds, overflow=dset.overflow,
-        hydronium_of=dset.hydronium_of, n_hops_of=dset.n_hops)
+        hydronium_of=dset.hydronium_of, n_hops_of=dset.n_hops,
+        row_overflow=row_over)
     return result, batch

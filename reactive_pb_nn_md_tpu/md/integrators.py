@@ -111,6 +111,9 @@ class ForceEval:
     evb_overflow: jnp.ndarray
     hydronium_of: jnp.ndarray     # (S,) int32
     n_hops_of: jnp.ndarray        # (S,) int32
+    # on-demand adjacency row-capacity overflow (cell path): folded into
+    # the NEIGHBOR overflow flag by md_step (host regrows capacity)
+    row_overflow: jnp.ndarray = None
 
 
 def evaluate_forces(x, box, topo, system: System, nlist, cbw,
@@ -122,9 +125,15 @@ def evaluate_forces(x, box, topo, system: System, nlist, cbw,
     pairs = neighbors.neighbor_pairs(nlist)
     S = system.evb_max_states
     if system.ms_evb:
+        # on-demand cell path: hand the EVB layer the persisted cell
+        # tables instead of materialized (N, K) adjacencies
+        full_src = (nlist.celltab if nlist.celltab is not None
+                    else nlist.full_idx)
+        react_src = (nlist.react_tab if nlist.react_tab is not None
+                     else nlist.react_idx)
         res, batch = ham.adiabatic_energy_force(x, box, topo, system, pairs,
-                                                cbw, full_idx=nlist.full_idx,
-                                                react_idx=nlist.react_idx,
+                                                cbw, full_idx=full_src,
+                                                react_idx=react_src,
                                                 com=com)
         new_topo = jax.tree_util.tree_map(
             lambda a: a[res.principle], batch.topo)
@@ -134,7 +143,8 @@ def evaluate_forces(x, box, topo, system: System, nlist, cbw,
                          n_states=res.n_states, eigenvector=res.eigenvector,
                          hopped=hopped, evb_overflow=res.overflow,
                          hydronium_of=res.hydronium_of,
-                         n_hops_of=res.n_hops_of)
+                         n_hops_of=res.n_hops_of,
+                         row_overflow=res.row_overflow)
     bd, force = total_mod.total_energy_and_forces(x, box, topo, system,
                                                   pairs, cbw)
     return ForceEval(potential=bd.total, breakdown=bd, force=force, topo=topo,
@@ -214,6 +224,9 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
     # fused pair-kernel capacity check (same regrow path as the neighbor
     # list; XLA merges the binning with the kernel's own)
     nbr_over = nlist.overflow
+    if fe.row_overflow is not None:
+        # on-demand adjacency rows exceeded their capacity: same regrow
+        nbr_over = nbr_over | fe.row_overflow
     from ..models.total import _use_rs_kernel
     if _use_rs_kernel(system, x.dtype):
         from ..ops.pallas.realspace_pair import rs_cell_overflow
@@ -277,7 +290,7 @@ def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
 
 def initial_md_state(state: State, topo: Topology, system: System, cbw,
                      capacity: int, cells=None,
-                     react_cap: int = None) -> MDState:
+                     react_cap: int = None, react_cells=None) -> MDState:
     if cells is None:
         cells = neighbors.suggest_cells(system.n_atoms, state.box,
                                         system.verlet_cutoff)
@@ -302,21 +315,34 @@ def initial_md_state(state: State, topo: Topology, system: System, cbw,
     # has no consumer there, so skip its build-time compaction entirely
     from ..models.total import _use_rs_kernel
     build_half = not _use_rs_kernel(system, state.x.dtype)
+    # cell path + MS-EVB: skip materializing the (N, K) full/react
+    # adjacencies (their top_k over (N, 27*ccap) dominated the 10^4-atom
+    # rebuild); persist the cell tables and extract rows on demand
+    on_demand = bool(cells) and system.ms_evb
+    if on_demand and react_cap and react_cells is None:
+        react_cells = neighbors.suggest_cells(
+            system.n_atoms, state.box, react_cutoff, min_atoms=0)
+    react_cells = react_cells or ()
     nlist = neighbors.build_neighbors(state.x, state.box,
                                       system.verlet_cutoff, capacity, cells,
                                       react_cutoff=react_cutoff,
                                       react_cap=react_cap,
-                                      build_half=build_half)
+                                      build_half=build_half,
+                                      on_demand=on_demand,
+                                      react_cells=react_cells)
     eval_fn = (evaluate_forces if jax.default_backend() == "cpu"
                else _evaluate_forces_jit)
     fe = eval_fn(state.x, state.box, topo, system, nlist, cbw)
     ke = velocities.kinetic_energy(state.v, system.mass)
     comp = (CompCarry(x=jnp.zeros_like(state.x), v=jnp.zeros_like(state.v))
             if system.compensated_sum else None)
+    nbr_over = nlist.overflow
+    if fe.row_overflow is not None:
+        nbr_over = nbr_over | fe.row_overflow
     return MDState(state=state, topo=fe.topo, nlist=nlist, force=fe.force,
                    potential=fe.potential, breakdown=fe.breakdown, kinetic=ke,
                    n_states=fe.n_states, eigenvector=fe.eigenvector,
                    hopped=fe.hopped, force_overflow=jnp.asarray(False),
-                   nbr_overflow=nlist.overflow, evb_overflow=fe.evb_overflow,
+                   nbr_overflow=nbr_over, evb_overflow=fe.evb_overflow,
                    hydronium_of=fe.hydronium_of, n_hops_of=fe.n_hops_of,
                    comp=comp)

@@ -152,9 +152,11 @@ class Simulation:
                                     np.asarray(state.box),
                                     self.system.verlet_cutoff)
         self.react_cap = None     # density default; grown on overflow
+        self.react_cells = None
         self.ms = integrators.initial_md_state(
             state, topo, self.system, self.cbw, self.capacity, self.cells)
         self.react_cap = self.ms.nlist.react_cap or None
+        self.react_cells = self.ms.nlist.react_cells or None
         self._retry_capacity_if_overflow()
         if getattr(self, "_chk_comp", None) and self.ms.comp is not None:
             cx, cv = self._chk_comp
@@ -182,6 +184,11 @@ class Simulation:
             if self.react_cap:
                 self.react_cap = min(int(self.react_cap * 1.5) + 8,
                                      self.system.n_atoms - 1)
+            if self.react_cells:
+                # the fine react cell table's per-cell capacity (on-demand
+                # adjacency path; same shared flag)
+                rn1, rn2, rn3, rcc = self.react_cells
+                self.react_cells = (rn1, rn2, rn3, int(rcc * 1.5) + 4)
             if self.system.rs_cells:
                 # grow the fused pair kernel's per-cell capacity too (the
                 # flag is shared; growing both is harmless)
@@ -194,7 +201,8 @@ class Simulation:
                     pme_scap=self.system.pme_scap + 16)
             self.ms = integrators.initial_md_state(
                 self.ms.state, self.ms.topo, self.system, self.cbw,
-                self.capacity, self.cells, react_cap=self.react_cap)
+                self.capacity, self.cells, react_cap=self.react_cap,
+                react_cells=self.react_cells)
             if self.capacity >= self.system.n_atoms - 1:
                 break
 
@@ -322,8 +330,9 @@ class Simulation:
         from ..evb.topology_ops import build_diabat_topologies
         import jax
         ms = self.ms
-        ridx = ms.nlist.react_idx if ms.nlist.react_idx is not None \
-            else ms.nlist.full_idx
+        ridx = ms.nlist.react_tab if ms.nlist.react_tab is not None else (
+            ms.nlist.react_idx if ms.nlist.react_idx is not None
+            else ms.nlist.full_idx)
         dset = enumerate_diabats(ms.state.x, ms.state.box, ms.topo,
                                  self.system, full_idx=ridx)
         batch = build_diabat_topologies(ms.topo, dset, self.system)
@@ -457,7 +466,8 @@ class Simulation:
                     self.log_f.flush()
                     self.ms = integrators.initial_md_state(
                         ms_prev.state, ms_prev.topo, self.system, self.cbw,
-                        self.capacity, self.cells, react_cap=self.react_cap)
+                        self.capacity, self.cells, react_cap=self.react_cap,
+                        react_cells=self.react_cells)
                     self._retry_capacity_if_overflow()
                     skip_baro = True
                     continue

@@ -42,7 +42,7 @@ def test_delta_equals_full(tmp_path):
 
     diag_full, _, recip_full = ham.diabat_diagonal_energies_full(
         x, box, batch, system, pairs, cbw, topo.charge)
-    diag_delta, _, recip_delta = ham.diabat_diagonal_energies(
+    diag_delta, _, recip_delta, _ = ham.diabat_diagonal_energies(
         x, box, batch, system, pairs, cbw, topo.charge, topo,
         nlist.full_idx)
 
@@ -53,7 +53,7 @@ def test_delta_equals_full(tmp_path):
 
     # gradients must agree too (forces through the delta path)
     def e_delta(xx):
-        d, _, _ = ham.diabat_diagonal_energies(
+        d, _, _, _ = ham.diabat_diagonal_energies(
             xx, box, batch, system, pairs, cbw, topo.charge, topo,
             nlist.full_idx)
         return jnp.sum(jnp.where(jnp.arange(system.evb_max_states) < n,

@@ -233,3 +233,101 @@ def test_cell_react_rows_sorted_and_match_dense():
         assert np.all(row_c[first_pad:] == -1)
     # dense rows are ascending by construction -> identical arrays
     np.testing.assert_array_equal(d, c)
+
+
+def test_rows_on_demand_match_materialized():
+    """At the build instant (stale == current positions) rows_on_demand
+    must return exactly the materialized full rows: same sets, ascending
+    j, padding last.  Also checks the finer react table and per-row
+    overflow flags."""
+    x, box = _random_box(400, 18.0, seed=11)
+    cutoff, rcut = 6.0, 3.0
+    cap = neighbors.suggest_capacity(400, 18.0 ** 3, cutoff)
+    cells = neighbors.suggest_cells(400, np.asarray(box), cutoff,
+                                    min_atoms=1)
+    rcells = neighbors.suggest_cells(400, np.asarray(box), rcut,
+                                     min_atoms=0)
+    mat = neighbors.build_neighbor_list_cell(x, box, cutoff, cap, cells,
+                                             react_cutoff=rcut, react_cap=24)
+    od = neighbors.build_neighbor_list_cell(x, box, cutoff, cap, cells,
+                                            react_cutoff=rcut, react_cap=24,
+                                            build_half=False, on_demand=True,
+                                            react_cells=rcells)
+    assert not bool(mat.overflow) and not bool(od.overflow)
+    assert od.full_idx.shape == (400, 0) and od.react_idx is None
+    assert od.celltab is not None and od.react_tab is not None
+
+    rng = np.random.default_rng(2)
+    atoms = jnp.asarray(rng.choice(400, 53, replace=False).astype(np.int32))
+    for ct, ref_rows in [(od.celltab, np.asarray(mat.full_idx)),
+                         (od.react_tab, np.asarray(mat.react_idx))]:
+        rows, over = neighbors.rows_on_demand(ct, x, box, atoms)
+        assert not bool(over.any())
+        got = np.asarray(rows)
+        for k, a in enumerate(np.asarray(atoms)):
+            vref = ref_rows[a][ref_rows[a] >= 0]
+            vgot = got[k][got[k] >= 0]
+            assert list(vgot) == sorted(vgot)
+            assert set(vref) == set(vgot), (int(a), set(vref) ^ set(vgot))
+            assert np.all(got[k][len(vgot):] == -1)
+
+    # a too-small row capacity must flag the overflowing rows
+    tight = od.celltab.replace(row_cap=2)
+    _, over = neighbors.rows_on_demand(tight, x, box, atoms)
+    assert bool(over.any())
+
+
+def test_reactive_md_with_on_demand_rows_matches_dense(tmp_path):
+    """Full reactive MD (MS-EVB enumeration + delta diagonals) through the
+    on-demand cell-table adjacency gives the dense-build trajectory: the
+    row SOURCES differ but the use-time distance masks make energies and
+    forces identical."""
+    import jax
+    from fixtures import make_water_box, write_fixture_files
+    from reactive_pb_nn_md_tpu.io.ffpmt import read_ffpmt
+    from reactive_pb_nn_md_tpu.io.topfile import read_top
+    from reactive_pb_nn_md_tpu.io.simpmt import read_sim_params
+    from reactive_pb_nn_md_tpu.topology import build_system, State
+    from reactive_pb_nn_md_tpu.models import pme
+    from reactive_pb_nn_md_tpu.md import integrators, velocities
+
+    ff_p, top_p, sim_p = write_fixture_files(
+        tmp_path, msevb="yes", cutoff=4.0, verlet_cutoff=5.0, pme_grid=16)
+    frame = make_water_box(124, include_h3o=True, seed=3)
+    cfg = read_sim_params(sim_p)
+    system, topo = build_system(frame, read_ffpmt(ff_p), read_top(top_p),
+                                cfg)
+    v = velocities.sample_velocities(
+        jax.random.PRNGKey(1), system.mass, 300.0,
+        velocities.freeze_mask(system, topo))
+    state = State(x=jnp.asarray(frame.xyz), v=v,
+                  box=jnp.asarray(frame.box), key=jax.random.PRNGKey(0),
+                  step=jnp.asarray(0, jnp.int32))
+    cbw = pme.cb_half(state.box, system.pme_grid, system.spline_order,
+                      system.alpha_sqrt, dtype=state.x.dtype)
+    cells = neighbors.suggest_cells(system.n_atoms, np.asarray(frame.box),
+                                    system.verlet_cutoff, min_atoms=1)
+    assert cells
+    vol = float(np.prod(np.diag(frame.box)))
+    cap = neighbors.suggest_capacity(system.n_atoms, vol,
+                                     system.verlet_cutoff)
+
+    results = {}
+    for name, cfg_cells in [("dense", ()), ("od", cells)]:
+        ms = integrators.initial_md_state(state, topo, system, cbw, cap,
+                                          cells=cfg_cells)
+        if name == "od":
+            # cells + ms_evb => the on-demand path must be active
+            assert ms.nlist.celltab is not None
+            assert ms.nlist.react_tab is not None
+            assert ms.nlist.full_idx.shape[1] == 0
+        assert not bool(ms.nbr_overflow)
+        for _ in range(4):
+            ms = integrators.md_step(ms, system, cbw, cfg.delta_t, "NVE")
+        assert not bool(ms.nbr_overflow)
+        results[name] = (np.asarray(ms.state.x), float(ms.potential),
+                         int(ms.n_states))
+    assert results["dense"][2] == results["od"][2]
+    np.testing.assert_allclose(results["dense"][0], results["od"][0],
+                               atol=1e-9)
+    assert abs(results["dense"][1] - results["od"][1]) < 1e-6

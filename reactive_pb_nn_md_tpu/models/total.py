@@ -151,9 +151,9 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
     (pair_int_real_space.f90:386-588).  mols/mmask restricts to a molecule
     subset (EVB delta diagonals)."""
     A = system.max_atoms_per_mol
+    # STATIC pair slots: iu/ju stay host numpy so every per-pair pull-out
+    # below is a constant-index gather, not a per-element dynamic one
     iu, ju = np.triu_indices(A, 1)
-    iu = jnp.asarray(iu, jnp.int32)
-    ju = jnp.asarray(ju, jnp.int32)
 
     if mols is None:
         mt = topo.mol_mtype                               # (M,)
@@ -168,25 +168,30 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
     valid = (ju[None, :] < natom[:, None])                # (M, S)
     if sub is not None:
         valid = valid & sub[:, None]
-    code = system.mt.excl_code[mt[:, None], iu[None, :], ju[None, :]]
-    # compiled per-template pair parameters (vdW type + normal/1-4 params):
-    # replaces three runtime (T,T)-table pair lookups per pair
-    itab = system.mt.intra_tab[mt]                        # (M, P2, 13)
-
-    gi = jnp.take_along_axis(mol_atoms, jnp.broadcast_to(
-        iu[None, :], (mt.shape[0], iu.shape[0])), axis=1)
-    gj = jnp.take_along_axis(mol_atoms, jnp.broadcast_to(
-        ju[None, :], (mt.shape[0], ju.shape[0])), axis=1)
-    gi = jnp.maximum(gi, 0).reshape(-1)
-    gj = jnp.maximum(gj, 0).reshape(-1)
-    valid = valid.reshape(-1)
-    code = code.reshape(-1)
-
-    # ONE packed row gather per side (positions + charge)
+    # per-type static pair tables, selected by ONE one-hot (M, MT) matmul
+    # (exact 0/1 selection, ops/lookup.py rationale): replaces the (M, P2)
+    # 3-index excl_code gather + the (M, P2, 13) intra_tab row gather
+    from ..ops.lookup import one_hot_f
     f = x.dtype
+    hi = jnp.float64 if f == jnp.float64 else jnp.float32
+    MT = system.mt.excl_code.shape[0]
+    P2 = iu.shape[0]
+    ec_pairs = system.mt.excl_code[:, iu, ju].astype(hi)  # (MT, P2) static
+    it_pairs = system.mt.intra_tab.reshape(MT, P2 * 13).astype(hi)
+    oh = one_hot_f(mt, MT, hi)                            # (M, MT)
+    sel = jnp.matmul(oh, jnp.concatenate([ec_pairs, it_pairs], axis=1),
+                     precision=jax.lax.Precision.HIGHEST)
+    code = jnp.round(sel[:, :P2]).astype(jnp.int32).reshape(-1)
+    itab = sel[:, P2:].reshape(-1, P2, 13).astype(f)
+    valid = valid.reshape(-1)
+
+    # ONE packed row gather of every molecule site (positions + charge);
+    # the per-pair sides are then static column picks of it
     pc = jnp.concatenate([x, topo.charge.astype(f)[:, None]], axis=1)
-    pci = pc[gi]
-    pcj = pc[gj]
+    g = jnp.maximum(mol_atoms, 0).reshape(-1)
+    xa = pc[g].reshape(mol_atoms.shape[0], A, 4)          # (M, A, 4)
+    pci = xa[:, iu].reshape(-1, 4)
+    pcj = xa[:, ju].reshape(-1, 4)
 
     # minimum image: a diabat's acceptor molecule can be split across the
     # periodic boundary (positions are shared across diabats)
@@ -204,7 +209,6 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
     within = nonexcl & (r2 < system.real_space_cutoff ** 2)
     e_elec = nonbonded.ewald_real(qq, r, system.alpha_sqrt)
 
-    P2 = iu.shape[0]
     vtype = jnp.round(itab[..., 0]).astype(jnp.int32).reshape(-1)
     params = itab[..., 1:7].reshape(-1, 6)
     params14 = itab[..., 7:13].reshape(-1, 6)

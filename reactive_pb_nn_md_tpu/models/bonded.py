@@ -185,8 +185,9 @@ def dihedral_energy(x, box, topo: Topology, system: System, mols=None,
 
 
 def bonded_energies(x, box, topo: Topology, system: System, mols=None,
-                    mmask=None):
-    xa = _mol_sites(x, topo, mols)       # shared across all three terms
+                    mmask=None, xa=None):
+    if xa is None:
+        xa = _mol_sites(x, topo, mols)   # shared across all three terms
     return (bond_energy(x, box, topo, system, mols, mmask, xa=xa),
             angle_energy(x, box, topo, system, mols, mmask, xa=xa),
             dihedral_energy(x, box, topo, system, mols, mmask, xa=xa))

@@ -141,8 +141,19 @@ def realspace_pairs(x, box, topo: Topology, system: System, gi, gj, pmask,
     return jnp.sum(w * e_elec), jnp.sum(w * e_vdw)
 
 
+def mol_sites_packed(x, topo: Topology):
+    """(M, A, 4) [position | charge] of every molecule's template slots:
+    ONE row gather (and ONE backward scatter) shared by the intra pair
+    sweep and all three bonded terms."""
+    f = x.dtype
+    pc = jnp.concatenate([x, topo.charge.astype(f)[:, None]], axis=1)
+    g = jnp.maximum(topo.mol_atoms, 0).reshape(-1)
+    return pc[g].reshape(topo.mol_atoms.shape[0],
+                         topo.mol_atoms.shape[1], 4)
+
+
 def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
-                    mmask=None):
+                    mmask=None, xa_pc=None):
     """Intra-molecular nonbonded over per-type template pairs.
 
     Exclusion codes (intra_bonded_interactions.f90:574-617): 1 = excluded
@@ -187,11 +198,12 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
 
     # ONE packed row gather of every molecule site (positions + charge);
     # the per-pair sides are then static column picks of it
-    pc = jnp.concatenate([x, topo.charge.astype(f)[:, None]], axis=1)
-    g = jnp.maximum(mol_atoms, 0).reshape(-1)
-    xa = pc[g].reshape(mol_atoms.shape[0], A, 4)          # (M, A, 4)
-    pci = xa[:, iu].reshape(-1, 4)
-    pcj = xa[:, ju].reshape(-1, 4)
+    if xa_pc is None:
+        pc = jnp.concatenate([x, topo.charge.astype(f)[:, None]], axis=1)
+        g = jnp.maximum(mol_atoms, 0).reshape(-1)
+        xa_pc = pc[g].reshape(mol_atoms.shape[0], A, 4)   # (M, A, 4)
+    pci = xa_pc[:, iu].reshape(-1, 4)
+    pcj = xa_pc[:, ju].reshape(-1, 4)
 
     # minimum image: a diabat's acceptor molecule can be split across the
     # periodic boundary (positions are shared across diabats)
@@ -226,9 +238,12 @@ def energy_no_recip(x, box, topo: Topology, system: System, pairs):
     """All terms except reciprocal PME (which the EVB layer batches over
     diabats with delta-Q grids).  Includes Ewald self (charge-dependent)."""
     e_real_elec, e_real_vdw = realspace_inter(x, box, topo, system, pairs)
-    e_intra_elec, e_intra_vdw = intra_nonbonded(x, box, topo, system)
+    xa_pc = mol_sites_packed(x, topo)
+    e_intra_elec, e_intra_vdw = intra_nonbonded(x, box, topo, system,
+                                                xa_pc=xa_pc)
     e_self = pme.ewald_self(topo.charge, system.alpha_sqrt)
-    e_bond, e_angle, e_dihedral = bonded.bonded_energies(x, box, topo, system)
+    e_bond, e_angle, e_dihedral = bonded.bonded_energies(
+        x, box, topo, system, xa=xa_pc[:, :, 0:3])
     return EnergyBreakdown(
         total=(e_real_elec + e_intra_elec + e_self + e_real_vdw
                + e_intra_vdw + e_bond + e_angle + e_dihedral),
@@ -241,7 +256,9 @@ def total_energy(x, box, topo: Topology, system: System, pairs, cbw):
     """Full potential energy of one topology (= one diabat diagonal, minus
     the EVB repulsion/reference terms handled by the EVB layer)."""
     e_real_elec, e_real_vdw = realspace_inter(x, box, topo, system, pairs)
-    e_intra_elec, e_intra_vdw = intra_nonbonded(x, box, topo, system)
+    xa_pc = mol_sites_packed(x, topo)
+    e_intra_elec, e_intra_vdw = intra_nonbonded(x, box, topo, system,
+                                                xa_pc=xa_pc)
 
     K = system.pme_grid
     Q = pme.charge_grid(x, topo.charge, box, K, system.spline_order,
@@ -249,7 +266,8 @@ def total_energy(x, box, topo: Topology, system: System, pairs, cbw):
     e_recip = pme.recip_energy(Q, cbw)
     e_self = pme.ewald_self(topo.charge, system.alpha_sqrt)
 
-    e_bond, e_angle, e_dihedral = bonded.bonded_energies(x, box, topo, system)
+    e_bond, e_angle, e_dihedral = bonded.bonded_energies(
+        x, box, topo, system, xa=xa_pc[:, :, 0:3])
 
     e_elec = e_real_elec + e_intra_elec + e_recip + e_self
     e_vdw = e_real_vdw + e_intra_vdw

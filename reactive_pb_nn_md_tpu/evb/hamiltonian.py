@@ -311,7 +311,8 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     # linearity of the spreading
     Q0 = pme.charge_grid(x, base_charge, box, system.pme_grid,
                          system.spline_order, scap=system.pme_scap)
-    F0 = jnp.fft.rfftn(Q0)
+    from ..ops.dft import rfft3_fast
+    F0 = rfft3_fast(Q0)
     from ..utils.constants import CONV_E2A_KJMOL
     e0 = 0.5 * CONV_E2A_KJMOL * jnp.sum(
         cbw * (F0.real ** 2 + F0.imag ** 2))

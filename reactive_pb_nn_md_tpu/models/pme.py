@@ -141,7 +141,8 @@ def cb_half(box, K, order, alpha, dtype=jnp.float64):
 
 def recip_energy(Q, cbw):
     """E_recip = conv/2 * sum w CB |F(Q)|^2 over the half spectrum."""
-    F = jnp.fft.rfftn(Q)
+    from ..ops.dft import rfft3_fast
+    F = rfft3_fast(Q)
     return 0.5 * CONV_E2A_KJMOL * jnp.sum(cbw * (F.real ** 2 + F.imag ** 2))
 
 

@@ -104,3 +104,35 @@ def test_recip_energy_batched_matches_single():
     eb = pme.recip_energy_batched(Qs, cbw)
     singles = [pme.recip_energy(Qs[i], cbw) for i in range(3)]
     np.testing.assert_allclose(np.asarray(eb), np.asarray(singles), rtol=1e-12)
+
+
+def test_rfft3_matmul_matches_fft():
+    """The MXU matmul DFT (ops/dft.py) must match jnp.fft.rfftn --
+    values AND gradients (the force path differentiates through F0)."""
+    import jax
+    from reactive_pb_nn_md_tpu.ops import dft
+    rng = np.random.default_rng(7)
+    for K, dt, tol in ((16, jnp.float64, 1e-12), (32, jnp.float32, 2e-4)):
+        Q = jnp.asarray(rng.normal(size=(K, K, K)), dt)
+        F_mm = dft.rfft3_matmul(Q)
+        F_ref = jnp.fft.rfftn(Q.astype(jnp.float64))
+        scale = float(jnp.max(jnp.abs(F_ref)))
+        np.testing.assert_allclose(np.asarray(F_mm.real),
+                                   np.asarray(F_ref.real),
+                                   atol=tol * scale)
+        np.testing.assert_allclose(np.asarray(F_mm.imag),
+                                   np.asarray(F_ref.imag),
+                                   atol=tol * scale)
+        cbw = jnp.asarray(rng.uniform(0, 1, size=(K, K, K // 2 + 1)), dt)
+
+        def e_of(fft):
+            def e(Qx):
+                F = fft(Qx)
+                return jnp.sum(cbw * (F.real ** 2 + F.imag ** 2))
+            return jax.grad(e)(Q)
+
+        g_mm = e_of(dft.rfft3_matmul)
+        g_ref = e_of(jnp.fft.rfftn)
+        gs = float(jnp.max(jnp.abs(g_ref)))
+        np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref),
+                                   atol=tol * gs)

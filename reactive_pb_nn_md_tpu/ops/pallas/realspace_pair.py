@@ -133,12 +133,17 @@ def _bin_atoms(x, box, cells):
     return slot, overflow
 
 
-def _kernel(nbr_ref, cm_ref, tabs_ref, par_ref, f_ref, scratch,
+def _kernel(nbr_ref, cm_ref, cmt_ref, tabs_ref, par_ref, f_ref, scratch,
             *, ccap, T, n_tab, has_sapt):
     """One program per cell.
 
     nbr_ref  : (n_cells, 27) scalar-prefetch stencil ids
     cm_ref   : (n_cells*ccap, 8) packed cell-major atom data (VMEM)
+    cmt_ref  : (n_cells, 8, ccap) the SAME data component-major (VMEM);
+               pre-transposed ONCE in XLA so the stencil loads below are
+               plain dynamic-row copies -- the earlier in-kernel blk.T
+               re-transposed every cell 27x (once per neighboring
+               program), which dominated the kernel's runtime
     tabs_ref : (n_tab, T, T) parameter tables (VMEM)
     par_ref  : (1, 8) float params [Lx Ly Lz rcut2 alpha conv 0 0] (SMEM)
     f_ref    : (ccap, 8) per-atom [gx_el gy gz gx_vdw gy gz e_el e_vdw]
@@ -151,11 +156,11 @@ def _kernel(nbr_ref, cm_ref, tabs_ref, par_ref, f_ref, scratch,
     J = scratch.shape[1]
     f32 = cm_ref.dtype
 
-    # ---- gather the 27 stencil blocks (static lane offsets, dynamic rows)
+    # ---- gather the 27 stencil blocks (static lane offsets, dynamic
+    # leading-dim rows, no transposes)
     for k in range(27):
         nb = nbr_ref[c, k]
-        blk = cm_ref[pl.ds(nb * ccap, ccap), :]            # (ccap, 8)
-        scratch[:, k * ccap:(k + 1) * ccap] = blk.T        # (8, ccap)
+        scratch[:, k * ccap:(k + 1) * ccap] = cmt_ref[nb]  # (8, ccap)
 
     own = cm_ref[pl.ds(c * ccap, ccap), :]                 # (ccap, 8)
 
@@ -340,6 +345,9 @@ def _forward(x, charge, atype, mol, box, tabs, cells, consts):
         [x, charge[:, None].astype(f), atype[:, None].astype(f),
          mol[:, None].astype(f), jnp.zeros((N, 2), f)], axis=1)
     cm = base.at[slot].set(vals)[:C8]
+    # component-major copy for the kernel's stencil loads (ONE XLA
+    # relayout here instead of 27 in-kernel transposes per cell)
+    cmt = cm.reshape(n_cells, ccap, 8).transpose(0, 2, 1)
 
     nbr = jnp.asarray(_stencil_ids(cells))
     tabs = tabs.astype(f)
@@ -356,6 +364,7 @@ def _forward(x, charge, atype, mol, box, tabs, cells, consts):
         grid=(n_cells,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # cm
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # cmt
             pl.BlockSpec(memory_space=pltpu.VMEM),          # tabs
             pl.BlockSpec((1, 8), lambda c, *_: (0, 0),
                          memory_space=pltpu.SMEM),          # par
@@ -370,7 +379,7 @@ def _forward(x, charge, atype, mol, box, tabs, cells, consts):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C8, 8), f),
         interpret=not _on_tpu(),
-    )(nbr, cm, tabs, par)
+    )(nbr, cm, cmt, tabs, par)
 
     e_el = jnp.sum(f_cells[:, 6])
     e_vdw = jnp.sum(f_cells[:, 7])

@@ -26,6 +26,14 @@ from ..topology import System, Topology
 from ..utils import pbc
 
 
+def _term_sum(e, idx_table, per_mol):
+    """Total or per-molecule (M,) sum of flat (M*S,) term energies."""
+    if per_mol:
+        S = idx_table.shape[1]
+        return jnp.sum(e.reshape(-1, S), axis=1)
+    return jnp.sum(e)
+
+
 def _safe_acos(c):
     # epsilon must survive the dtype: 1 - 1e-9 rounds to 1.0 in fp32, which
     # puts clipped values exactly at the acos singularity (infinite grad)
@@ -97,7 +105,7 @@ def _gather_pairs(xa, topo, system, idx_table, par_table, mols=None,
 
 
 def bond_energy(x, box, topo: Topology, system: System, mols=None,
-                mmask=None, xa=None):
+                mmask=None, xa=None, per_mol=False):
     if xa is None:
         xa = _mol_sites(x, topo, mols)
     pos, func, p, mask = _gather_pairs(xa, topo, system, system.mt.bonds,
@@ -115,11 +123,11 @@ def bond_energy(x, box, topo: Topology, system: System, mols=None,
     e = jnp.where(func == 1, e_harm,
                   jnp.where(func == 2, e_g96,
                             jnp.where(func == 3, e_morse, 0.0)))
-    return jnp.sum(jnp.where(mask, e, 0.0))
+    return _term_sum(jnp.where(mask, e, 0.0), system.mt.bonds, per_mol)
 
 
 def angle_energy(x, box, topo: Topology, system: System, mols=None,
-                 mmask=None, xa=None):
+                 mmask=None, xa=None, per_mol=False):
     if xa is None:
         xa = _mol_sites(x, topo, mols)
     pos, func, p, mask = _gather_pairs(xa, topo, system, system.mt.angles,
@@ -136,11 +144,11 @@ def angle_energy(x, box, topo: Topology, system: System, mols=None,
     e_harm = 0.5 * p[:, 1] * (theta - p[:, 0]) ** 2
     e_cos = 0.5 * p[:, 1] * (cos_t - jnp.cos(p[:, 0])) ** 2
     e = jnp.where(func == 1, e_harm, jnp.where(func == 2, e_cos, 0.0))
-    return jnp.sum(jnp.where(mask, e, 0.0))
+    return _term_sum(jnp.where(mask, e, 0.0), system.mt.angles, per_mol)
 
 
 def dihedral_energy(x, box, topo: Topology, system: System, mols=None,
-                    mmask=None, xa=None):
+                    mmask=None, xa=None, per_mol=False):
     if xa is None:
         xa = _mol_sites(x, topo, mols)
     pos, func, p, mask = _gather_pairs(xa, topo, system,
@@ -181,13 +189,16 @@ def dihedral_energy(x, box, topo: Topology, system: System, mols=None,
     e = jnp.where(func == 1, e_proper,
                   jnp.where(func == 2, e_improper,
                             jnp.where(func == 3, e_rb, 0.0)))
-    return jnp.sum(jnp.where(mask, e, 0.0))
+    return _term_sum(jnp.where(mask, e, 0.0), system.mt.dihedrals, per_mol)
 
 
 def bonded_energies(x, box, topo: Topology, system: System, mols=None,
-                    mmask=None, xa=None):
+                    mmask=None, xa=None, per_mol=False):
     if xa is None:
         xa = _mol_sites(x, topo, mols)   # shared across all three terms
-    return (bond_energy(x, box, topo, system, mols, mmask, xa=xa),
-            angle_energy(x, box, topo, system, mols, mmask, xa=xa),
-            dihedral_energy(x, box, topo, system, mols, mmask, xa=xa))
+    return (bond_energy(x, box, topo, system, mols, mmask, xa=xa,
+                        per_mol=per_mol),
+            angle_energy(x, box, topo, system, mols, mmask, xa=xa,
+                         per_mol=per_mol),
+            dihedral_energy(x, box, topo, system, mols, mmask, xa=xa,
+                            per_mol=per_mol))

@@ -153,14 +153,16 @@ def mol_sites_packed(x, topo: Topology):
 
 
 def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
-                    mmask=None, xa_pc=None):
+                    mmask=None, xa_pc=None, per_mol=False):
     """Intra-molecular nonbonded over per-type template pairs.
 
     Exclusion codes (intra_bonded_interactions.f90:574-617): 1 = excluded
     (gets only the -erf reciprocal correction), 2 = 1-4 (special C12/C6),
     0 = normal.  vdW has no cutoff, electrostatics does
     (pair_int_real_space.f90:386-588).  mols/mmask restricts to a molecule
-    subset (EVB delta diagonals)."""
+    subset (EVB delta diagonals).  per_mol=True returns per-molecule (M,)
+    partial sums instead of scalars (the chain-mol dedup computes the
+    principle-topology side ONCE per superset molecule)."""
     A = system.max_atoms_per_mol
     # STATIC pair slots: iu/ju stay host numpy so every per-pair pull-out
     # below is a constant-index gather, not a per-element dynamic one
@@ -228,10 +230,14 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
                                       has_sapt=system.has_sapt)
 
     zero = jnp.zeros_like(e_elec)
-    E_elec = (jnp.sum(jnp.where(excluded, e_corr, zero))
-              + jnp.sum(jnp.where(within, e_elec, zero)))
-    E_vdw = jnp.sum(jnp.where(nonexcl, e_vdw, zero))
-    return E_elec, E_vdw
+    el_terms = (jnp.where(excluded, e_corr, zero)
+                + jnp.where(within, e_elec, zero))
+    vdw_terms = jnp.where(nonexcl, e_vdw, zero)
+    if per_mol:
+        Mm = valid.shape[0] // P2
+        return (jnp.sum(el_terms.reshape(Mm, P2), axis=1),
+                jnp.sum(vdw_terms.reshape(Mm, P2), axis=1))
+    return jnp.sum(el_terms), jnp.sum(vdw_terms)
 
 
 def energy_no_recip(x, box, topo: Topology, system: System, pairs):

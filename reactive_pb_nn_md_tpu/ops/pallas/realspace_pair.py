@@ -7,20 +7,30 @@ the reference's hottest OpenMP loop (pair_int_real_space.f90:183-327).
 Design (TPU-first, not a translation):
 
   * atoms are binned into a static (nc1, nc2, nc3) cell grid sized by the
-    REAL-SPACE cutoff and laid out cell-major as an (n_cells*ccap, 8)
-    packed array [x y z q type mol 0 0]; empty slots hold a far-away
-    sentinel position and mol = -1;
-  * the kernel grid runs one program per cell; each program loads its own
-    (ccap, 8) block plus the 27-cell stencil (static Python loop, dynamic
-    ROW starts -- lane offsets stay static) into a component-major
-    (8, 27*ccap) scratch, then evaluates the (ccap, J) pair block entirely
-    in registers/VMEM: minimum image, cutoff/molecule/self masks,
-    erfc-Ewald, and LJ or SAPT Buckingham with per-pair parameters from
-    one-hot MXU contractions against the tiny (T, T) tables;
-  * FULL stencil enumeration: every ordered pair appears in exactly one
-    row program, so per-atom forces are pure row reductions -- the
-    scatter-add transpose that dominated the XLA backward disappears;
-    energies carry the 1/2 double-count factor;
+    REAL-SPACE cutoff and laid out component-major as an
+    (n_cells, 8, ccap) packed array [x y z q type mol 0 0]; empty slots
+    hold a far-away sentinel position and mol = -1;
+  * the kernel grid runs one program per cell; stencil cell ids are pure
+    index arithmetic of the program id (a prefetched (n_cells, 27) table
+    was lane-padded to 128 in SMEM -- 5.4 MB at 10^5 atoms, over the 1 MB
+    SMEM budget); each program loads the stencil blocks (dynamic ROW
+    starts, static lane offsets) into a component-major (8, S*ccap)
+    scratch, then evaluates the (ccap, J) pair block entirely in
+    registers/VMEM: minimum image, cutoff/molecule/self masks, erfc-Ewald,
+    and LJ or SAPT Buckingham with per-pair parameters from one-hot MXU
+    contractions against the tiny (T, T) tables;
+  * HALF stencil enumeration (default): the self cell (upper-triangle
+    masked) plus the 13 lexicographically-positive neighbors -- every
+    unordered pair is evaluated ONCE, halving the candidate math of the
+    full 27-stencil.  The i-side force is a row reduction as before; the
+    j-side partial of stencil block k is a column reduction written to a
+    per-offset output at block index (cell + offset_k) -- an arithmetic
+    output index map, so no scatter and no cross-program accumulation --
+    and XLA sums the 14 per-offset arrays (one cheap elementwise add);
+  * the FULL 27-stencil path (set_stencil_impl("full")) keeps every
+    ordered pair in one row program: forces are pure row reductions and
+    energies carry the 1/2 double-count factor; retained as the A/B
+    reference for the half path;
   * forces are computed IN the forward pass from the analytic -dE/dr / r
     factors (the reference's "ewaldscale" forms, pair_int_real_space.f90:
     740-759, and the Tang-Toennies derivative identity f_n'(x) =
@@ -52,6 +62,39 @@ def _on_tpu():
 
 
 _SENTINEL = 1.0e6      # empty-slot position: far outside any cutoff
+
+_STENCIL_IMPL = "auto"          # "auto" | "half" | "full"
+# measured crossover (v5e, fwd+grad): 64 cells full wins 0.40 vs 0.60 ms,
+# 343 cells half wins 0.81 vs 0.90, 1000 cells half wins 2.06 vs 2.50 --
+# the j-side machinery is per-program fixed cost, the candidate-math
+# saving scales with J
+_HALF_MIN_CELLS = 200
+
+
+def set_stencil_impl(impl):
+    """Select the stencil enumeration: "auto" (default; half for grids of
+    >= _HALF_MIN_CELLS cells, else full), "half", "full".  Takes effect at
+    trace time (re-jit after switching)."""
+    global _STENCIL_IMPL
+    assert impl in ("auto", "half", "full"), impl
+    _STENCIL_IMPL = impl
+
+
+def _use_half(cells):
+    if _STENCIL_IMPL == "auto":
+        return cells[0] * cells[1] * cells[2] >= _HALF_MIN_CELLS
+    return _STENCIL_IMPL == "half"
+
+
+def _offsets(half):
+    """Static stencil offsets.  half: self first, then the 13
+    lexicographically-positive offsets (distinct mod the grid for nc >= 3
+    since every component is in {-1, 0, 1})."""
+    off = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+           for k in (-1, 0, 1)]
+    if half:
+        return [(0, 0, 0)] + [o for o in off if o > (0, 0, 0)]
+    return off
 
 
 def _erfc_pos(x):
@@ -90,19 +133,6 @@ def suggest_rs_cells(n_atoms, box, cutoff, safety=1.5, min_atoms=192):
     return (nc[0], nc[1], nc[2], max(ccap, 8))
 
 
-def _stencil_ids(cells):
-    """(n_cells, 27) neighbor cell ids (static; grid dims are static)."""
-    nc1, nc2, nc3, _ = cells
-    ids = np.arange(nc1 * nc2 * nc3)
-    ci = np.stack([ids // (nc2 * nc3), (ids // nc3) % nc2, ids % nc3],
-                  axis=1)
-    off = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
-                    for k in (-1, 0, 1)])
-    nb = (ci[:, None, :] + off[None, :, :]) % np.array([nc1, nc2, nc3])
-    return ((nb[..., 0] * nc2 + nb[..., 1]) * nc3
-            + nb[..., 2]).astype(np.int32)
-
-
 def _bin_atoms(x, box, cells):
     """Cell assignment + cell-major slot layout.  Returns (slot (N,),
     overflow ()); slot is the row of each atom in the packed array."""
@@ -133,36 +163,58 @@ def _bin_atoms(x, box, cells):
     return slot, overflow
 
 
-def _kernel(nbr_ref, cm_ref, cmt_ref, tabs_ref, par_ref, f_ref, scratch,
-            *, ccap, T, n_tab, has_sapt):
+def _nb_of(c, o, cells):
+    """Stencil cell id for offset o of cell c (works on traced scalars;
+    offsets are in {-1,0,1} so adding nc keeps operands non-negative).
+    All arithmetic pinned to int32 (the program id's dtype)."""
+    nc1, nc2, nc3, _ = cells
+    i32 = jnp.int32
+    c = jnp.asarray(c, i32)
+    n1, n2, n3 = i32(nc1), i32(nc2), i32(nc3)
+    c1 = c // (n2 * n3)
+    c2 = (c // n3) % n2
+    c3 = c % n3
+    a = jax.lax.rem(c1 + i32(o[0] + nc1), n1)
+    b = jax.lax.rem(c2 + i32(o[1] + nc2), n2)
+    d = jax.lax.rem(c3 + i32(o[2] + nc3), n3)
+    return (a * n2 + b) * n3 + d
+
+
+def _kernel(cmt_ref, tabs_ref, par_ref, *refs,
+            cells, T, n_tab, has_sapt, half):
     """One program per cell.
 
-    nbr_ref  : (n_cells, 27) scalar-prefetch stencil ids
-    cm_ref   : (n_cells*ccap, 8) packed cell-major atom data (VMEM)
-    cmt_ref  : (n_cells, 8, ccap) the SAME data component-major (VMEM);
-               pre-transposed ONCE in XLA so the stencil loads below are
-               plain dynamic-row copies -- the earlier in-kernel blk.T
-               re-transposed every cell 27x (once per neighboring
-               program), which dominated the kernel's runtime
+    cmt_ref  : (n_cells, 8, ccap) packed component-major atom data (VMEM)
+               [x y z q type mol 0 0] -- component-major so the stencil
+               loads below are plain dynamic-row copies (an in-kernel
+               transpose per stencil block dominated an earlier version)
     tabs_ref : (n_tab, T, T) parameter tables (VMEM)
     par_ref  : (1, 8) float params [Lx Ly Lz rcut2 alpha conv 0 0] (SMEM)
+    refs     : f_ref [, 13 per-offset j-side outputs when half], scratch
     f_ref    : (ccap, 8) per-atom [gx_el gy gz gx_vdw gy gz e_el e_vdw]
                = dE/dx plus the cell's energy partial sums spread over the
                two spare lanes (TPU blocks need 8-divisible sublanes, so a
                separate (1, 2) energy output is not lowerable)
     scratch  : (8, J) component-major stencil data
     """
+    nc1, nc2, nc3, ccap = cells
+    offs = _offsets(half)
+    nsten = len(offs)
+    if half:
+        f_ref, nb_refs, scratch = refs[0], refs[1:nsten], refs[-1]
+    else:
+        f_ref, scratch = refs[0], refs[-1]
     c = pl.program_id(0)
     J = scratch.shape[1]
-    f32 = cm_ref.dtype
+    f32 = cmt_ref.dtype
 
-    # ---- gather the 27 stencil blocks (static lane offsets, dynamic
-    # leading-dim rows, no transposes)
-    for k in range(27):
-        nb = nbr_ref[c, k]
+    # ---- gather the stencil blocks (static lane offsets, dynamic
+    # leading-dim rows, no transposes); stencil ids are index arithmetic
+    nbs = [_nb_of(c, o, cells) for o in offs]
+    for k, nb in enumerate(nbs):
         scratch[:, k * ccap:(k + 1) * ccap] = cmt_ref[nb]  # (8, ccap)
 
-    own = cm_ref[pl.ds(c * ccap, ccap), :]                 # (ccap, 8)
+    own = cmt_ref[c].T                                     # (ccap, 8)
 
     Lx = par_ref[0, 0]
     Ly = par_ref[0, 1]
@@ -182,19 +234,24 @@ def _kernel(nbr_ref, cm_ref, cmt_ref, tabs_ref, par_ref, f_ref, scratch,
 
     mol_i = own[:, 5:6]
     mol_j = scratch[5:6, :]
-    # self-pair: same packed slot (row) id
+    # self-pair / half ordering: compare packed slot (row) ids
     gid_i = (c * ccap
              + jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0))
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, J), 1)
-    nb_of_lane = lane // ccap                              # 0..26 (pad->26+)
+    nb_of_lane = lane // ccap                              # 0.. (pad->max)
     gid_j = jnp.zeros((1, J), jnp.int32)
-    for k in range(27):
-        nb = nbr_ref[c, k]
+    for k, nb in enumerate(nbs):
         gid_j = jnp.where(nb_of_lane == k,
                           nb * ccap + lane - k * ccap, gid_j)
-    valid_j = (lane < 27 * ccap) & (mol_j >= 0.0)
+    valid_j = (lane < nsten * ccap) & (mol_j >= 0.0)
+    if half:
+        # block 0 is the self cell: strict upper triangle; cross-cell
+        # blocks appear in exactly one program already
+        pair_once = (nb_of_lane != 0) | (gid_i < gid_j)
+    else:
+        pair_once = gid_i != gid_j
     within = ((r2 < rcut2) & (mol_i != mol_j) & (mol_i >= 0.0)
-              & valid_j & (gid_i != gid_j))
+              & valid_j & pair_once)
 
     r2s = jnp.where(within, r2, 1.0)
     inv_r2 = 1.0 / r2s
@@ -269,23 +326,49 @@ def _kernel(nbr_ref, cm_ref, cmt_ref, tabs_ref, par_ref, f_ref, scratch,
     e_vdw_pair = jnp.where(within, e_vdw_pair, zero)
     s_el = jnp.where(within, s_el, zero)
     s_vdw = jnp.where(within, s_vdw, zero)
-    # scratch lanes beyond 27*ccap are uninitialized: zero the displacement
-    # components too, or 0 * NaN poisons the force row sums
+    # scratch lanes beyond nsten*ccap are uninitialized: zero the
+    # displacement components too, or 0 * NaN poisons the force row sums
     dx = jnp.where(within, dx, zero)
     dy = jnp.where(within, dy, zero)
     dz = jnp.where(within, dz, zero)
 
+    gxe, gye, gze = s_el * dx, s_el * dy, s_el * dz
+    gxv, gyv, gzv = s_vdw * dx, s_vdw * dy, s_vdw * dz
+
     # dE/dx_i = -sum_j S * dr_vec  (S = -(1/r) dE/dr); the cell's energy
-    # partial sums ride in the two spare lanes as per-row partials
-    f_ref[...] = jnp.concatenate(
-        [-jnp.sum(s_el * dx, axis=1, keepdims=True),
-         -jnp.sum(s_el * dy, axis=1, keepdims=True),
-         -jnp.sum(s_el * dz, axis=1, keepdims=True),
-         -jnp.sum(s_vdw * dx, axis=1, keepdims=True),
-         -jnp.sum(s_vdw * dy, axis=1, keepdims=True),
-         -jnp.sum(s_vdw * dz, axis=1, keepdims=True),
-         0.5 * jnp.sum(e_el_pair, axis=1, keepdims=True),
-         0.5 * jnp.sum(e_vdw_pair, axis=1, keepdims=True)], axis=1)
+    # partial sums ride in the two spare lanes as per-row partials (full
+    # stencil counts every pair twice -> 1/2; half counts it once)
+    ef = 1.0 if half else 0.5
+    fi = jnp.concatenate(
+        [-jnp.sum(gxe, axis=1, keepdims=True),
+         -jnp.sum(gye, axis=1, keepdims=True),
+         -jnp.sum(gze, axis=1, keepdims=True),
+         -jnp.sum(gxv, axis=1, keepdims=True),
+         -jnp.sum(gyv, axis=1, keepdims=True),
+         -jnp.sum(gzv, axis=1, keepdims=True),
+         ef * jnp.sum(e_el_pair, axis=1, keepdims=True),
+         ef * jnp.sum(e_vdw_pair, axis=1, keepdims=True)], axis=1)
+
+    if not half:
+        f_ref[...] = fi
+        return
+
+    # ---- half path: j-side partials per stencil block.  dE/dx_j =
+    # +S * dr_vec summed over rows.  ONE full-width column reduction per
+    # component, assembled into an (8, J) component-major matrix by iota
+    # row-select (Mosaic cannot concatenate (1, J) vectors at distinct
+    # sublane offsets); block k's partial is then a static lane slice
+    # written COMPONENT-MAJOR -- XLA transposes the summed result once,
+    # instead of 13 in-kernel (8, ccap) transposes per program.
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    CS = jnp.zeros((8, J), f32)
+    for m, comp in enumerate((gxe, gye, gze, gxv, gyv, gzv)):
+        cs = jnp.sum(comp, axis=0, keepdims=True)          # (1, J)
+        CS = CS + jnp.where(rowsel == m, cs, 0.0)
+
+    f_ref[...] = fi + CS[:, 0:ccap].T           # self block's j side
+    for k in range(1, nsten):
+        nb_refs[k - 1][0] = CS[:, k * ccap:(k + 1) * ccap]
 
 
 def _build_tabs(system, dtype):
@@ -335,6 +418,8 @@ def _forward(x, charge, atype, mol, box, tabs, cells, consts):
     n_cells = nc1 * nc2 * nc3
     f = x.dtype
     N = x.shape[0]
+    half = _use_half(cells)
+    nsten = len(_offsets(half))
 
     slot, overflow = _bin_atoms(x, box, cells)
 
@@ -345,41 +430,54 @@ def _forward(x, charge, atype, mol, box, tabs, cells, consts):
         [x, charge[:, None].astype(f), atype[:, None].astype(f),
          mol[:, None].astype(f), jnp.zeros((N, 2), f)], axis=1)
     cm = base.at[slot].set(vals)[:C8]
-    # component-major copy for the kernel's stencil loads (ONE XLA
-    # relayout here instead of 27 in-kernel transposes per cell)
+    # component-major layout for the kernel's stencil loads (ONE XLA
+    # relayout here instead of an in-kernel transpose per stencil block)
     cmt = cm.reshape(n_cells, ccap, 8).transpose(0, 2, 1)
 
-    nbr = jnp.asarray(_stencil_ids(cells))
     tabs = tabs.astype(f)
     L = jnp.diagonal(box).astype(f)
     par = jnp.array([[0.0] * 8], f).at[0, 0:3].set(L)
     par = par.at[0, 3].set(rcut * rcut).at[0, 4].set(alpha)
     par = par.at[0, 5].set(CONV_E2A_KJMOL)
 
-    J = 27 * ccap
+    J = nsten * ccap
     Jpad = -(-J // 128) * 128
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    out_shape = [jax.ShapeDtypeStruct((C8, 8), f)]
+    out_specs = [pl.BlockSpec((ccap, 8), lambda c: (c, 0),
+                              memory_space=pltpu.VMEM)]
+    if half:
+        for o in _offsets(True)[1:]:
+            out_shape.append(jax.ShapeDtypeStruct((n_cells, 8, ccap), f))
+            out_specs.append(pl.BlockSpec(
+                (1, 8, ccap),
+                functools.partial(
+                    lambda c, _o: (_nb_of(c, _o, cells), 0, 0), _o=o),
+                memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_kernel, cells=cells, T=T, n_tab=n_tab,
+                          has_sapt=has_sapt, half=half),
         grid=(n_cells,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # cm
             pl.BlockSpec(memory_space=pltpu.VMEM),          # cmt
             pl.BlockSpec(memory_space=pltpu.VMEM),          # tabs
-            pl.BlockSpec((1, 8), lambda c, *_: (0, 0),
+            pl.BlockSpec((1, 8), lambda c: (0, 0),
                          memory_space=pltpu.SMEM),          # par
         ],
-        out_specs=pl.BlockSpec((ccap, 8), lambda c, *_: (c, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs if half else out_specs[0],
+        out_shape=out_shape if half else out_shape[0],
         scratch_shapes=[pltpu.VMEM((8, Jpad), f)],
-    )
-    f_cells = pl.pallas_call(
-        functools.partial(_kernel, ccap=ccap, T=T, n_tab=n_tab,
-                          has_sapt=has_sapt),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C8, 8), f),
         interpret=not _on_tpu(),
-    )(nbr, cm, cmt, tabs, par)
+    )(cmt, tabs, par)
+
+    if half:
+        nb_sum = res[1]
+        for r in res[2:]:
+            nb_sum = nb_sum + r                 # (n_cells, 8, ccap)
+        f_cells = res[0] + nb_sum.transpose(0, 2, 1).reshape(C8, 8)
+    else:
+        f_cells = res
 
     e_el = jnp.sum(f_cells[:, 6])
     e_vdw = jnp.sum(f_cells[:, 7])

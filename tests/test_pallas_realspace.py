@@ -163,3 +163,37 @@ def test_overflow_probe(tmp_path):
     # shrunk box -> cell width below cutoff
     assert bool(rsp.rs_cell_overflow(x * 0.5, box * 0.5, cells,
                                      system.real_space_cutoff))
+
+
+def test_half_vs_full_stencil(tmp_path):
+    """The half-stencil enumeration (default) must match the full
+    27-stencil path exactly up to summation order: energies and the
+    stored per-atom gradients."""
+    system, topo, x, box, pairs = _water_setup(tmp_path)
+    assert system.rs_cells
+
+    def both(impl):
+        rsp.set_stencil_impl(impl)
+        try:
+            e = _kernel_call(system, topo, x, box)
+            f = x.dtype
+            tabs = rsp._build_tabs(system, f)
+            consts = (float(system.real_space_cutoff),
+                      float(system.alpha_sqrt), bool(system.has_sapt),
+                      int(system.ff.vdw_type.shape[0]))
+            _, _, (g_el, g_vdw), _ = rsp._forward(
+                x, topo.charge.astype(f), topo.atom_type.astype(f),
+                topo.atom_mol.astype(f), box, tabs, system.rs_cells,
+                consts)
+        finally:
+            rsp.set_stencil_impl("auto")
+        return e, g_el, g_vdw
+
+    (ee_h, ev_h), gel_h, gvd_h = both("half")
+    (ee_f, ev_f), gel_f, gvd_f = both("full")
+    assert np.isclose(float(ee_h), float(ee_f), rtol=1e-10, atol=1e-8)
+    assert np.isclose(float(ev_h), float(ev_f), rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gel_h), np.asarray(gel_f),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gvd_h), np.asarray(gvd_f),
+                               rtol=1e-9, atol=1e-9)

@@ -53,7 +53,14 @@ def _reorder_to_template(atoms, types, template):
         types = jnp.where(do, types[src], types)
         return atoms, types
 
-    return jax.lax.fori_loop(0, A, body, (atoms, types))
+    # statically unrolled (A is a small compile-time template width): a
+    # lax.fori_loop lowers to a per-molecule while loop whose iteration
+    # sync + carry copies cost more than the tiny body (six such loops
+    # showed up in the step profile); unrolled, the bodies fuse
+    carry = (atoms, types)
+    for i in range(A):
+        carry = body(i, carry)
+    return carry
 
 
 def apply_hop(topo: Topology, hop, system: System) -> Topology:

@@ -89,10 +89,15 @@ def coupling_element(x, box, topo: Topology, system: System,
     a_heavy = jnp.maximum(a_heavy, 0)
     proton = jnp.maximum(proton, 0)
 
-    # ---- geometric factor, all positions min-imaged against O_donor
-    r_O1 = x[d_heavy]
-    r_O2 = r_O1 + pbc.min_image(x[a_heavy] - r_O1, box)
-    r_H = r_O1 + pbc.min_image(x[proton] - r_O1, box)
+    # ---- geometric factor, all positions min-imaged against O_donor.
+    # ONE one-hot row matmul instead of three scalar-row gathers: the
+    # gathers' force transpose is a duplicate-index scatter-add that
+    # XLA:TPU serializes into row-at-a-time while loops (ops/lookup.py)
+    from ..ops.lookup import rows_onehot
+    r3 = rows_onehot(x, jnp.stack([d_heavy, a_heavy, proton]))
+    r_O1 = r3[0]
+    r_O2 = r_O1 + pbc.min_image(r3[1] - r_O1, box)
+    r_H = r_O1 + pbc.min_image(r3[2] - r_O1, box)
     r_OO = r_O1 - r_O2
     q_vec = (r_O1 + r_O2) / 2.0 - r_H
 

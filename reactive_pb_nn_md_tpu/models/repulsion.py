@@ -72,7 +72,10 @@ def ms_evb_repulsion(x, box, topo: Topology, system: System):
     da_m = (oh_j @ evb.da_mask[:, hp_col[0], hp_col[1]]
             .astype(x.dtype) > 0.5) & solvent
 
-    r_heavy = x[heavy_atom]
+    # one-hot row matmul: the scalar gather's force transpose serialized
+    # into a row-at-a-time scatter while loop (ops/lookup.py rows_onehot)
+    from ..ops.lookup import rows_onehot
+    r_heavy = rows_onehot(x, heavy_atom[None])[0]
     d_jO = pbc.min_image(r_heavy[None, :] - x, box)     # j -> heavy, (N, 3)
     r_OO = jnp.sqrt(jnp.where(da_m, jnp.sum(d_jO * d_jO, -1), 1.0))
     B, bl, d0, blp, rs, rc = (da_p[:, k] for k in range(6))

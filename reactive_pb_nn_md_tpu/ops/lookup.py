@@ -16,6 +16,23 @@ def one_hot_f(t, T, dtype):
     return (t[..., None] == jnp.arange(T, dtype=jnp.int32)).astype(dtype)
 
 
+def rows_onehot(x, idx):
+    """x[idx] for a SMALL int row-index array, as a one-hot matmul.
+
+    The forward gather itself is fine on TPU, but its autodiff TRANSPOSE
+    is a scatter-add whose row indices repeat across the diabat vmap, and
+    XLA:TPU lowers that to a sequential while loop of ONE row per
+    iteration (measured: three such loops = 128 serialized iterations per
+    MD step from the EVB coupling/repulsion force backward).  As a
+    one-hot matmul the transpose is itself a matmul.  Bit-exact under
+    HIGHEST precision: products are 0/1 * value.  Only worth it when
+    idx is small (the one-hot is (B, N))."""
+    import jax
+    oh = one_hot_f(idx.reshape(-1), x.shape[0], x.dtype)
+    res = jnp.matmul(oh, x, precision=jax.lax.Precision.HIGHEST)
+    return res.reshape(idx.shape + x.shape[1:])
+
+
 def pair_lookup(table, ti, tj):
     """table[(ti, tj)] for broadcastable int index arrays ti, tj.
 

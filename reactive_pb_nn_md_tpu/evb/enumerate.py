@@ -123,7 +123,13 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
     row_overflow = jnp.asarray(False)
 
     def expand_one(d, active):
-        """Candidates (A, Anb) for donor molecule d (principle topology)."""
+        """Candidates (P, Anb) for donor molecule d (principle topology).
+
+        The expansion runs over the P reactive-proton template slots only
+        (mt.proton_slots), not all A slots -- for the water/hydronium
+        system that is 3 of 4 rows, for CH3SO3H 1 of 9.  Slot order is
+        ascending, so the discovered state order matches the all-slots
+        sweep exactly (non-proton rows never produced candidates)."""
         # COM neighborhood of THIS donor only -- (M,) per expanded state
         # instead of a precomputed (M, M) matrix, which at 10^4 atoms was
         # ~1.4 ms/step of pure wasted bandwidth (only donor rows are read)
@@ -131,8 +137,11 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         com_ok_d = jnp.sum(dcom * dcom, -1) \
             < EVB_FIRST_SOLVATION_CUTOFF ** 2              # (M,)
         d_mtype = topo.mol_mtype[d]
-        d_atoms = topo.mol_atoms[d]                        # (A,)
-        proton_ok = (mt.reactive_protons[d_mtype] > 0) & (d_atoms >= 0)
+        pslots = mt.proton_slots[d_mtype]                  # (P,)
+        slot_ok = pslots >= 0
+        psafe = jnp.maximum(pslots, 0)
+        d_atoms = topo.mol_atoms[d][psafe]                 # (P,)
+        proton_ok = slot_ok & (d_atoms >= 0)
         g_p = jnp.maximum(d_atoms, 0)
         row_over = jnp.asarray(False)
         if full_idx is None:
@@ -164,10 +173,12 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         # first Anb candidate columns (ascending global j: dense columns
         # are ordered, react_idx rows are sorted by the neighbor build)
         from ..ops.neighbors import first_true_columns
-        j_atom = first_true_columns(cand, Anb, jg)         # (A, Anb)
-        heavy_slot = mt.bonded_heavy_slot[d_mtype]         # (A,)
+        j_atom = first_true_columns(cand, Anb, jg)         # (P, Anb)
+        # bonded heavy partner of each proton SLOT (template-slot indexed)
+        heavy_slot = mt.bonded_heavy_slot[d_mtype][psafe]  # (P,)
+        all_atoms = topo.mol_atoms[d]                      # (A,)
         heavy_g = jnp.where(heavy_slot >= 0,
-                            d_atoms[jnp.maximum(heavy_slot, 0)], -1)
+                            all_atoms[jnp.maximum(heavy_slot, 0)], -1)
         return j_atom, g_p, heavy_g, row_over & active
 
     lvl_begin = jnp.asarray(0, jnp.int32)
@@ -184,14 +195,15 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         d_all = jnp.maximum(meta[:SL, 2], 0)
         j_atom, g_p, heavy_g, r_over = jax.vmap(expand_one)(d_all, at_level)
         row_overflow = row_overflow | jnp.any(r_over)
-        # flatten (SL, A, Anb) in state-major, proton-major order (matches
+        # flatten (SL, P, Anb) in state-major, proton-major order (matches
         # the reference's per-donor proton loop ordering)
+        P = j_atom.shape[1]
         j_flat = j_atom.reshape(-1)
         valid = j_flat >= 0
-        src_state = jnp.repeat(sidx_l, A * Anb)
+        src_state = jnp.repeat(sidx_l, P * Anb)
         p_rep = jnp.broadcast_to(
-            jnp.arange(A, dtype=jnp.int32)[None, :, None],
-            (SL, A, Anb)).reshape(-1)
+            jnp.arange(P, dtype=jnp.int32)[None, :, None],
+            (SL, P, Anb)).reshape(-1)
 
         slot = lvl_end + jnp.cumsum(valid).astype(jnp.int32) - 1
         ok = valid & (slot < S)

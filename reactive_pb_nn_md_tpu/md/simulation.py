@@ -415,7 +415,7 @@ class Simulation:
         p = 1
         while p * 2 <= n:
             p *= 2
-        return min(p, 64)
+        return min(p, 128)
 
     def run(self, n_steps=None, quiet=False):
         """Host loop around scanned device chunks.

@@ -62,6 +62,24 @@ def _pallas_spread_active(dtype):
     return (_jax.default_backend() == "tpu" and dtype == jnp.float32)
 
 
+_PERSTATE_IMPL = "auto"         # "auto" | "pallas" | "xla"
+
+
+def set_perstate_impl(impl):
+    """Select the per-diabat reciprocal-delta implementation: the fused
+    Pallas kernel (TPU fp32 default) or the XLA spectrum matmul."""
+    global _PERSTATE_IMPL
+    assert impl in ("auto", "pallas", "xla"), impl
+    _PERSTATE_IMPL = impl
+
+
+def _pallas_perstate_active(dtype):
+    if _PERSTATE_IMPL != "auto":
+        return _PERSTATE_IMPL == "pallas"
+    import jax as _jax
+    return (_jax.default_backend() == "tpu" and dtype == jnp.float32)
+
+
 def charge_grid_xla(x, q, box, K, order):
     """Q grid from all atoms (grid_Q) -- XLA scatter-add path."""
     u = pbc.scaled_grid_coords(x, box, K)
@@ -222,13 +240,37 @@ def recip_delta_perstate(x_u, u_mask, dq, box, K, order, cbw, F0):
     mask = u_mask.astype(A.real.dtype)
     Kh = K // 2 + 1
     S, U = dq.shape
-    # W[s,u,m1] = dq_su A_u(m1);  BC[u,(m2 m3)] = B_u(m2) C_u(m3)
-    W = (dq * mask[None, :]).astype(A.real.dtype)[:, :, None] * A[None]
+    dqm = (dq * mask[None, :]).astype(A.real.dtype)
     BC = (B[:, :, None] * C[:, None, :]).reshape(U, K * Kh)
-    # one (S*K, U) x (U, K*Kh) complex matmul -> G (S, K, K, Kh)
-    # bf16x3 passes (~21-bit mantissa) instead of the global f32 (x6) pin:
-    # the value operands keep ~fp32 accuracy (engine-wide pin stays f32)
+
+    if _pallas_perstate_active(dq.dtype):
+        # fused Pallas path: the (S, K, K, Kh) spectrum never leaves VMEM
+        # (ops/pallas/recip_perstate.py); bit-compatible contraction class
+        # (bf16x3 = HIGH) with the XLA formulation below
+        from ..ops.pallas.recip_perstate import perstate_recip_energy
+        Mh = K * Kh
+        Mp = -(-Mh // 128) * 128
+        S8 = -(-S // 8) * 8
+        f = dq.dtype
+
+        def padl(a, w):                       # zero-pad last dim to w
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 1)
+                           + [(0, w - a.shape[-1])])
+
+        dq_p = jnp.pad(dqm, ((0, S8 - S), (0, 0)))
+        e = perstate_recip_energy(
+            dq_p, A.real.T, A.imag.T,
+            padl(BC.real, Mp), padl(BC.imag, Mp),
+            padl(F0.real.reshape(K, Mh), Mp),
+            padl(F0.imag.reshape(K, Mh), Mp),
+            padl(cbw.astype(f).reshape(K, Mh), Mp))
+        return CONV_E2A_KJMOL * e[:S]
+    # XLA path (CPU / fp64): one (S*K, U) x (U, K*Kh) complex matmul ->
+    # G (S, K, K, Kh).  bf16x3 passes (~21-bit mantissa) instead of the
+    # global f32 (x6) pin: the value operands keep ~fp32 accuracy
+    # (engine-wide pin stays f32; fp64 ignores the precision option)
     hi = jax.lax.Precision.HIGH
+    W = dqm[:, :, None] * A[None]      # W[s,u,m1] = dq_su A_u(m1)
     G = jnp.matmul(W.transpose(0, 2, 1).reshape(S * K, U), BC,
                    precision=hi).reshape(S, K, K, Kh)
     cross = jnp.real(jnp.conj(F0)[None] * G)

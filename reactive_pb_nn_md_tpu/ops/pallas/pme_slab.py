@@ -143,8 +143,13 @@ def _interp_slab_kernel(pack_ref, gqp_ref, out_ref, *, P, order):
     s1 = jnp.zeros((scap, 1), f)
     s2 = jnp.zeros((scap, 1), f)
     s3 = jnp.zeros((scap, 1), f)
-    hi = jax.lax.Precision.HIGHEST   # Mosaic supports only
-    #  DEFAULT / HIGHEST for kernel dots
+    # HIGHEST is precision-MANDATED here, not a default: a bf16x3 (HIGH
+    # class) variant was measured at ~5e-4 relative force error -- the
+    # spline-DERIVATIVE rows sum to zero, so the contraction cancels
+    # catastrophically and the 3-limb scheme's missing low products
+    # surface at the result scale (tests/test_pallas_pme.py would catch
+    # it).  Mosaic kernel dots only support DEFAULT / HIGHEST.
+    hi = jax.lax.Precision.HIGHEST
     for o in range(order):
         C = gqp_ref[pl.ds(b + o, 1), :, :][0]         # (P_y, P_z)
         # M[u, y] = sum_z wz_u(z) C[y, z]

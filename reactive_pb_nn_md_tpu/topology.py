@@ -77,6 +77,11 @@ class MolTypeTable:
     # bonded term / intra pair is static per template, so the runtime
     # (T,T,..)-table lookups (serialized tiny gathers on TPU) collapse
     # into one row gather of these packed float tables
+    proton_slots: jnp.ndarray = None     # (MT, P) int32: template slots
+                                         # with reactive protons, -1 pad
+                                         # (P = max count over types; the
+                                         # enumeration expands only these
+                                         # rows instead of all A slots)
     bond_tab: jnp.ndarray = None         # (MT, B, 4)  func + 3 params
     angle_tab: jnp.ndarray = None        # (MT, G, 3)  func + 2 params
     dihedral_tab: jnp.ndarray = None     # (MT, D, 7)  func + 6 params
@@ -508,7 +513,14 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
             intra_tab[k, s, 1:7] = vdw_params[ti, tj]
             intra_tab[k, s, 7:13] = vdw_params_14[ti, tj]
 
+    P = max(1, int((reactive_protons > 0).sum(axis=1).max()))
+    proton_slots = np.full((MT, P), -1, dtype=np.int32)
+    for k in range(MT):
+        sl = np.nonzero(reactive_protons[k] > 0)[0]
+        proton_slots[k, :len(sl)] = sl
+
     mt = MolTypeTable(
+        proton_slots=jnp.asarray(proton_slots),
         bond_tab=jnp.asarray(bond_tab, f),
         angle_tab=jnp.asarray(angle_tab, f),
         dihedral_tab=jnp.asarray(dihedral_tab, f),

@@ -82,6 +82,9 @@ def test_slab_recip_energy_grad_matches():
                                rtol=1e-12)
     gx_r, gq_r = jax.grad(e_ref, argnums=(0, 1))(x, q)
     gx_s, gq_s = jax.grad(e_sl, argnums=(0, 1))(x, q)
+    # tight tolerances are load-bearing: they pin the backward's HIGHEST
+    # contraction (a bf16x3 variant measured 5e-4 relative force error --
+    # the spline-derivative rows cancel catastrophically)
     np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(gq_s), np.asarray(gq_r),

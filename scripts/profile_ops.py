@@ -48,6 +48,8 @@ def main():
         data = data.decode("utf-8", "replace")
     tbl = json.loads(data)
     cols = {c["label"]: k for k, c in enumerate(tbl["cols"])}
+    if "--cols" in sys.argv:
+        print(list(cols))
     self_col = next(v for k, v in cols.items()
                     if "self" in k.lower() and "us" in k.lower())
     cat_col = cols.get("HLO op category")
@@ -55,8 +57,7 @@ def main():
     name_col = next((v for k, v in cols.items()
                      if "hlo op name" in k.lower()
                      or k.lower() == "hlo op"), None)
-    expr_col = next((v for k, v in cols.items()
-                     if "expression" in k.lower()), None)
+    expr_col = cols.get("HLO op text")
     src_col = next((v for k, v in cols.items() if "source" in k.lower()),
                    None)
 

@@ -12,10 +12,17 @@ This kernel restructures the spread as K slab-sized MXU contractions:
   * every atom's x-corner c1 is an integer in [0, K); atoms are binned by
     c1 into K slabs of static capacity `scap` (one sort, the same binning
     trick as the fused real-space kernel);
-  * the y/z spline weights are placed at their lane offsets as dense
-    (n, P) rows (P = K + order - 1, halo-padded grid, wraparound folded
-    once at the end by cheap XLA adds);
-  * slab b's contribution to grid rows [b, b+order) is, for each x-slot o,
+  * the y/z spline rows are generated IN-KERNEL from a single scalar per
+    axis, z = frac + (order-1) + corner: row lane p carries M_order(z - p),
+    which is exactly the dense halo-padded spread row (nonzero on the
+    `order` consecutive support lanes, zero elsewhere, zero rows for the
+    z = 0 padding).  M_order(z - p) is evaluated by a pointwise Cox-de
+    Boor recursion on a lane iota -- no lane placement, no shifts, and the
+    per-atom pack shrinks from 640 lanes of prebuilt rows to 8 lanes of
+    [z1 z2 z3 q] (the old XLA-side row build + 640-lane row gather was
+    ~0.5 ms/step at 10^4 atoms; spline generation is VPU work that
+    pipelines under the kernels' MXU dots);
+  * slab b's contribution to grid rows [b, b+o) is, for each x-slot o,
 
         Q[b+o, :, :] += (q * wx[:, o] * WY).T @ WZ
 
@@ -25,17 +32,14 @@ This kernel restructures the spread as K slab-sized MXU contractions:
   * the backward pass is the transpose: per slab, per x-slot o,
     M_o = WZ @ C_o^T and M'_o = dWZ @ C_o^T against the cotangent window
     C_o = gQ[b+o] give every atom's charge and position cotangents as
-    row reductions -- no per-atom gathers at all.
-
-Layout notes (measured on v5e): the per-atom rows are packed into ONE
-(K*scap, 640) array whose segments start at lane multiples of 128 --
-unaligned segment slices forced Mosaic lane rotations that tripled the
-backward kernel's time -- and the pack is BLOCKED per slab (scap rows per
-program, pipelined) rather than held fully VMEM-resident.
+    row reductions -- no per-atom gathers at all.  The frac-derivative
+    rows come from the same recursion one level down:
+    dM_order(z-p) = M_{order-1}(z-p) - M_{order-1}(z-p-1).
 
 Atom binning overflow (a slab holding more than scap atoms) is flagged by
-`pme_slab_overflow` and handled by the driver exactly like neighbor-list /
-cell overflow: regrow the static capacity (System.pme_scap) and rebuild.
+`pme_slab_overflow` (a K-bin count -- no sort) and handled by the driver
+exactly like neighbor-list / cell overflow: regrow the static capacity
+(System.pme_scap) and rebuild.
 
 Falls back to interpret mode off-TPU so CPU tests run the same code.
 """
@@ -48,13 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...utils import pbc
-from .pme_spread import _axis_weights, _lane_rows, _fold_halo, _pad_halo, \
-    _on_tpu
-
-# pack lane offsets (segments 128-aligned; P = K + order - 1 <= 128 for
-# every supported grid up to K = 121)
-_SEG = 128
-_LANES = 5 * _SEG            # wy | wz | dwy | dwz | [wxq wx dwx] x 8
+from .pme_spread import _fold_halo, _pad_halo, _on_tpu
 
 
 def suggest_slab_cap(n_atoms, K, safety=1.25):
@@ -71,7 +69,7 @@ def suggest_slab_cap(n_atoms, K, safety=1.25):
 
 
 def _bin_by_slab(c1, K, scap):
-    """Slot of each atom in the (K*scap,) slab-major layout + overflow.
+    """Slot of each atom in the (K*scap,) slab-major layout.
 
     c1: (N,) int32 x-corner in [0, K).  Overflowing atoms land on a dump
     row (index K*scap) that callers slice off."""
@@ -83,19 +81,48 @@ def _bin_by_slab(c1, K, scap):
                              sorted_id[1:] != sorted_id[:-1]])
     run_start = jax.lax.cummax(jnp.where(first, ar, 0))
     rank = ar - run_start
-    overflow = jnp.any(rank >= scap)
     slot_sorted = jnp.where(rank < scap, sorted_id * scap + rank, K * scap)
     slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)
-    return slot, overflow
+    return slot
 
 
 def pme_slab_overflow(x, box, K, order, scap):
-    """Standalone overflow probe (cheap XLA; CSEs with the kernel's own
-    binning inside the same jitted step)."""
+    """Standalone overflow probe: true iff any x-slab holds more than
+    scap atoms.  A (K,) bin count -- cheaper than the kernel's own
+    sort-based binning (the old sort-based probe did NOT CSE with it)."""
     u = pbc.scaled_grid_coords(x, box, K)
     c1 = jnp.mod(jnp.floor(u[:, 0]) - (order - 1), K).astype(jnp.int32)
-    _, over = _bin_by_slab(c1, K, scap)
-    return over
+    counts = jnp.zeros((K,), jnp.int32).at[c1].add(1)
+    return jnp.any(counts > scap)
+
+
+def _m2(y):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(y - 1.0))
+
+
+def _weight_rows(z, width, order, deriv):
+    """Dense spline rows M_order(z - p) over lane iota p = 0..width-1.
+
+    z: (scap, 1).  Pointwise Cox-de Boor: tracks M_j(y - t) for the
+    shifted arguments t = 0..order-j (M_j(y-t-1) is just the next entry),
+    so no lane shifts are needed and all-zero pack rows yield all-zero
+    weight rows (M_order vanishes outside (0, order)).  deriv=True also
+    returns d/dfrac rows M_{order-1}(z-p) - M_{order-1}(z-p-1)."""
+    scap = z.shape[0]
+    f = z.dtype
+    # int iota then convert: Mosaic's tpu.iota is integer-only
+    y0 = z - jax.lax.broadcasted_iota(
+        jnp.int32, (scap, width), 1).astype(f)
+    ys = [y0 - t for t in range(order - 1)]
+    vals = [_m2(yt) for yt in ys]
+    dw = None
+    for j in range(3, order + 1):
+        if deriv and j == order:
+            dw = vals[0] - vals[1]
+        inv = 1.0 / (j - 1)
+        vals = [(ys[t] * vals[t] + (j - ys[t]) * vals[t + 1]) * inv
+                for t in range(order - j + 1)]
+    return (vals[0], dw) if deriv else vals[0]
 
 
 def _spread_slab_kernel(pack_ref, qp_ref, *, P, order):
@@ -107,10 +134,10 @@ def _spread_slab_kernel(pack_ref, qp_ref, *, P, order):
     def _():
         qp_ref[...] = jnp.zeros(qp_ref.shape, qp_ref.dtype)
 
-    blk = pack_ref[...]                               # (scap, _LANES)
-    wy = blk[:, 0:P]
-    wz = blk[:, _SEG:_SEG + P]
-    wxq = blk[:, 4 * _SEG:4 * _SEG + order]           # q already folded in
+    blk = pack_ref[...]                               # (scap, 8)
+    wy = _weight_rows(blk[:, 1:2], P, order, False)   # (scap, P)
+    wz = _weight_rows(blk[:, 2:3], P, order, False)
+    wxq = _weight_rows(blk[:, 0:1], 8, order, False) * blk[:, 3:4]
 
     contrib = []
     for o in range(order):
@@ -128,14 +155,11 @@ def _interp_slab_kernel(pack_ref, gqp_ref, out_ref, *, P, order):
     """Backward: per slab, contract the cotangent window with the spline
     rows; outputs per-atom [gq, s1, s2, s3] (s = dE/du before the q and
     box-transform factors)."""
-    blk = pack_ref[...]                               # (scap, _LANES)
+    blk = pack_ref[...]                               # (scap, 8)
     b = pl.program_id(0)
-    wy = blk[:, 0:P]
-    wz = blk[:, _SEG:_SEG + P]
-    dwy = blk[:, 2 * _SEG:2 * _SEG + P]
-    dwz = blk[:, 3 * _SEG:3 * _SEG + P]
-    wx = blk[:, 4 * _SEG + 8:4 * _SEG + 8 + order]
-    dwx = blk[:, 4 * _SEG + 16:4 * _SEG + 16 + order]
+    wy, dwy = _weight_rows(blk[:, 1:2], P, order, True)
+    wz, dwz = _weight_rows(blk[:, 2:3], P, order, True)
+    wx, dwx = _weight_rows(blk[:, 0:1], 8, order, True)
 
     f = blk.dtype
     scap = blk.shape[0]
@@ -182,35 +206,30 @@ def charge_grid_slab(x, q, box, K, order, scap):
 
 
 def _build_pack(x, q, box, K, order, scap):
-    """(K*scap, _LANES) slab-major pack: [wy | wz | dwy | dwz | wxq wx
-    dwx], segments at 128-lane offsets, assembled by ONE row gather."""
+    """(K*scap, 8) slab-major pack of [z1 z2 z3 q] (z = frac +
+    (order-1) + corner; z1 omits its corner -- the slab id b IS c1),
+    assembled by ONE slim row gather."""
     f = x.dtype
     N = x.shape[0]
     P = K + order - 1
-    assert P <= _SEG, f"pme grid K={K} exceeds the slab kernel's lane seg"
-    w, dw, corner = _axis_weights(x, box, K, order)
-    slot, _ = _bin_by_slab(corner[:, 0], K, scap)
-
-    def seg(a):
-        return jnp.concatenate(
-            [a, jnp.zeros((N, _SEG - a.shape[1]), f)], axis=1)
-
-    def pad8(a):
-        return jnp.concatenate(
-            [a, jnp.zeros((N, 8 - order), f)], axis=1) if order < 8 else a
-
-    rows = jnp.concatenate(
-        [seg(_lane_rows(w[:, 1], corner[:, 1], P)),       # wy
-         seg(_lane_rows(w[:, 2], corner[:, 2], P)),       # wz
-         seg(_lane_rows(dw[:, 1], corner[:, 1], P)),      # dwy
-         seg(_lane_rows(dw[:, 2], corner[:, 2], P)),      # dwz
-         pad8(w[:, 0] * q[:, None]), pad8(w[:, 0]), pad8(dw[:, 0]),
-         jnp.zeros((N, _SEG - 24), f)], axis=1)           # (N, _LANES)
+    assert P <= 128, f"pme grid K={K} exceeds the slab kernel's lane width"
+    u = pbc.scaled_grid_coords(x, box, K)
+    nearpt = jnp.floor(u)
+    frac = u - nearpt
+    corner = jnp.mod(nearpt - (order - 1), K).astype(jnp.int32)
+    base = jnp.asarray(order - 1, f)
+    rows = jnp.stack(
+        [frac[:, 0] + base,
+         frac[:, 1] + base + corner[:, 1].astype(f),
+         frac[:, 2] + base + corner[:, 2].astype(f),
+         q], axis=1)                                   # (N, 4)
+    rows = jnp.concatenate([rows, jnp.zeros((N, 4), f)], axis=1)
+    slot = _bin_by_slab(corner[:, 0], K, scap)
     # inverse permutation (tiny int scatter), then one ROW GATHER: on TPU
-    # the gather form beats the (K*scap, _LANES) row scatter
+    # the gather form beats the (K*scap, 8) row scatter
     gidx = jnp.full((K * scap + 1,), N, jnp.int32).at[slot].set(
         jnp.arange(N, dtype=jnp.int32))[:-1]
-    rows_pad = jnp.concatenate([rows, jnp.zeros((1, _LANES), f)], axis=0)
+    rows_pad = jnp.concatenate([rows, jnp.zeros((1, 8), f)], axis=0)
     return rows_pad[gidx], slot
 
 
@@ -223,7 +242,7 @@ def _fwd(x, q, box, K, order, scap):
         functools.partial(_spread_slab_kernel, P=P, order=order),
         grid=(K,),
         out_shape=jax.ShapeDtypeStruct((P, P, P), f),
-        in_specs=[pl.BlockSpec((scap, _LANES), lambda b: (b, 0),
+        in_specs=[pl.BlockSpec((scap, 8), lambda b: (b, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((P, P, P), lambda b: (0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -243,7 +262,7 @@ def _bwd(K, order, scap, res, gQ):
         grid=(K,),
         out_shape=jax.ShapeDtypeStruct((K * scap, 8), f),
         in_specs=[
-            pl.BlockSpec((scap, _LANES), lambda b: (b, 0),
+            pl.BlockSpec((scap, 8), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, P, P), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -70,7 +70,8 @@ def diabat_diagonal_energies_full(x, box, batch: DiabatBatch, system: System,
 
 
 def _chain_mol_deltas(x, box, batch: DiabatBatch, system: System,
-                      base_charge, topo0, order_m=None, umol_ok=None):
+                      base_charge, topo0, order_m=None, umol_ok=None,
+                      skip_repulsion=False):
     """Per-state deltas of the cheap molecule-local terms: intra nonbonded,
     bonded, Ewald self -- evaluated only for the hop-chain molecules.
 
@@ -118,9 +119,13 @@ def _chain_mol_deltas(x, box, batch: DiabatBatch, system: System,
         q_0 = base_charge[csafe]
         dself = -system.alpha_sqrt / SQRT_PI * CONV_E2A_KJMOL * jnp.sum(
             jnp.where(cmask, q_d * q_d - q_0 * q_0, 0.0))
-        e_rep = repulsion.ms_evb_repulsion(x, box, topo_d, system)
         e_ref = repulsion.reference_energy(topo_d, system)
-        return ((ie_d + iv_d + sum(b_d)) - e_0 + dself), e_rep + e_ref
+        if not skip_repulsion:
+            # dense O(N) sweep; the cell-table path computes repulsion on
+            # candidate rows instead (ms_evb_repulsion_batched_domain)
+            e_ref = e_ref + repulsion.ms_evb_repulsion(x, box, topo_d,
+                                                       system)
+        return ((ie_d + iv_d + sum(b_d)) - e_0 + dself), e_ref
 
     return jax.vmap(one)(batch.topo, batch.changed_atoms,
                          batch.changed_mask, dset.hop_log)
@@ -176,6 +181,12 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
         [dset.hop_log[:, :, 0], dset.hop_log[:, :, 3]], axis=1).reshape(-1)
     in_U = jnp.zeros((M,), jnp.int32).at[jnp.maximum(mols_all, 0)].max(
         (mols_all >= 0).astype(jnp.int32))
+    # force-include the principle hydronium: the candidate-row repulsion
+    # needs state 0's acid rows even when no hop was enumerated.  The
+    # union of chain molecules is <= S including it (tree enumeration:
+    # each non-principle state adds at most one new acceptor molecule)
+    in_U = in_U.at[jnp.maximum(topo0.hydronium_mol, 0)].max(
+        jnp.where(topo0.hydronium_mol >= 0, 1, 0))
     UM = min(S, M)
     order_m = jnp.argsort(-in_U, stable=True)[:UM].astype(jnp.int32)
     umol_ok = in_U[order_m] > 0
@@ -210,11 +221,12 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
                        topo0.atom_mol.astype(f),
                        pos_in_U.astype(f)], axis=1)], axis=1)   # (N, 7)
     pj = packed[j]                                         # (U, Kf, 7)
+    xu = x[ua]                                             # (U, 3)
     qj0 = pj[..., 3]
     t0j = jnp.round(pj[..., 4]).astype(jnp.int32)
     mol_j0 = pj[..., 5]
     jU = jnp.round(pj[..., 6]).astype(jnp.int32)           # (U, Kf)
-    dr = pbc.min_image(x[ua][:, None, :] - pj[..., 0:3], box)
+    dr = pbc.min_image(xu[:, None, :] - pj[..., 0:3], box)
     r2 = jnp.sum(dr * dr, -1)
     within = rmask & (r2 < system.real_space_cutoff ** 2)
     r2s = jnp.where(within, r2, 1.0)
@@ -323,9 +335,14 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
                  + (e_vdw_uu_d - e_vdw_uu_0))
 
     # ---------------- molecule-local deltas + EVB repulsion/reference
+    use_domain_rep = repulsion.domain_repulsion_active(system, on_demand)
     deltas_mol, extra = _chain_mol_deltas(x, box, batch, system,
                                           base_charge, topo0,
-                                          order_m=order_m, umol_ok=umol_ok)
+                                          order_m=order_m, umol_ok=umol_ok,
+                                          skip_repulsion=use_domain_rep)
+    if use_domain_rep:
+        extra = extra + repulsion.ms_evb_repulsion_batched_domain(
+            box, batch, system, xu, pos_in_U, rmask, pj, tU, ohJ)
 
     # ---------------- reciprocal space per state: ONE base FFT + one MXU
     # contraction of the per-state delta spectrum (pme.recip_delta_perstate
@@ -339,7 +356,7 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     e0 = 0.5 * CONV_E2A_KJMOL * jnp.sum(
         cbw * (F0.real ** 2 + F0.imag ** 2))
     e_recip = e0 + pme.recip_delta_perstate(
-        x[ua], ua_mask, masked_q, box, system.pme_grid,
+        xu, ua_mask, masked_q, box, system.pme_grid,
         system.spline_order, cbw, F0)
 
     diag = bd0.total + deltas_rs + deltas_mol + extra + e_recip
@@ -370,10 +387,10 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
 
     mol_pack = None
     if topo0 is not None:
-        ma = jnp.maximum(topo0.mol_atoms, 0)               # (M, A)
-        f = x.dtype
-        pk = jnp.concatenate([x, base_charge.astype(f)[:, None]],
-                             axis=1)[ma]                   # one (M, A, 4)
+        # EXACTLY the expression energy_no_recip builds (same flat-gather
+        # HLO), so XLA CSEs this with the bonded/intra site pack -- one
+        # (M*A) row gather and one backward scatter for both consumers
+        pk = total_mod.mol_sites_packed(x, topo0)          # (M, A, 4)
         mol_pack = (pk[..., 0:3], pk[..., 3], topo0.mol_atoms >= 0)
 
     def one(topo_d, hop_log_s, n_hops_s, act):

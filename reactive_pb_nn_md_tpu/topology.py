@@ -82,6 +82,11 @@ class MolTypeTable:
                                          # (P = max count over types; the
                                          # enumeration expands only these
                                          # rows instead of all A slots)
+    base_atype: jnp.ndarray = None       # (T,) int32 reactive-base flag by
+                                         # ATOM TYPE -- None when a type's
+                                         # base flag differs across
+                                         # templates (then enumerate falls
+                                         # back to the (mtype, slot) table)
     bond_tab: jnp.ndarray = None         # (MT, B, 4)  func + 3 params
     angle_tab: jnp.ndarray = None        # (MT, G, 3)  func + 2 params
     dihedral_tab: jnp.ndarray = None     # (MT, D, 7)  func + 6 params
@@ -157,6 +162,10 @@ class System:
     # static per-slab capacity for the slab-binned Pallas PME spread
     # (ops/pallas/pme_slab.py); 0 = use the per-atom spread kernel
     pme_scap: int = struct.field(pytree_node=False, default=0)
+    # max outer switch radius over the EVB repulsion tables (da rc,
+    # pa rc); gates the candidate-row repulsion path (repulsion rows are
+    # covered by the neighbor rows iff this <= real_space_cutoff)
+    evb_rep_rc_max: float = struct.field(pytree_node=False, default=0.0)
 
 
 @struct.dataclass
@@ -333,6 +342,7 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
     reactive_bases = np.zeros((MT, A), dtype=np.int32)
 
     evb = None
+    rep_rc_max = 0.0
     if top_raw.has_evb and cfg.ms_evb_simulation:
         conjugate_atype = np.arange(T, dtype=np.int32)
         exchange_q_atype = np.zeros((T,))
@@ -429,6 +439,12 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         for t, s in enumerate(opt_sets):
             type_options[t, :len(s)] = s
 
+        rep_rcs = ([float(da_params[da_mask][:, 5].max())]
+                   if da_mask.any() else []) \
+            + ([float(pa_params[pa_mask][:, 4].max())]
+               if pa_mask.any() else [])
+        rep_rc_max = max(rep_rcs) if rep_rcs else 0.0
+
         evb = EvbParams(
             type_options=jnp.asarray(type_options),
             conjugate_atype=jnp.asarray(conjugate_atype, jnp.int32),
@@ -519,8 +535,23 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         sl = np.nonzero(reactive_protons[k] > 0)[0]
         proton_slots[k, :len(sl)] = sl
 
+    # reactive-base flag by atom type (valid when consistent across
+    # templates): turns enumerate's per-atom (mtype, slot) double gather
+    # into a one-hot matvec
+    base_by_atype = np.zeros((T,), dtype=np.int32)
+    base_ok = True
+    seen_base = {}
+    for k in range(MT):
+        for i in range(int(natom[k])):
+            t, v = int(atype[k, i]), int(reactive_bases[k, i] > 0)
+            if seen_base.setdefault(t, v) != v:
+                base_ok = False
+            if v:
+                base_by_atype[t] = 1
+
     mt = MolTypeTable(
         proton_slots=jnp.asarray(proton_slots),
+        base_atype=jnp.asarray(base_by_atype) if base_ok else None,
         bond_tab=jnp.asarray(bond_tab, f),
         angle_tab=jnp.asarray(angle_tab, f),
         dihedral_tab=jnp.asarray(dihedral_tab, f),
@@ -619,6 +650,7 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         compensated_sum=bool(getattr(cfg, "compensated_sum", False)),
         rs_cells=_suggest_rs_cells_safe(N, gro.box, cfg.real_space_cutoff),
         pme_scap=_suggest_slab_cap_safe(N, int(cfg.pme_grid)),
+        evb_rep_rc_max=rep_rc_max,
     )
     return system, topo
 

@@ -132,7 +132,8 @@ def _chain_mol_deltas(x, box, batch: DiabatBatch, system: System,
 
 
 def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
-                             pairs, cbw, base_charge, topo0, full_idx):
+                             pairs, cbw, base_charge, topo0, full_idx,
+                             xa_pc0=None):
     """Field decomposition of the diagonals.
 
     The real-space delta of diabat i against the principle topology only
@@ -174,7 +175,8 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
     # from f32 on the delta==full equality tests
     hi = jax.lax.Precision.HIGH
 
-    bd0 = total_mod.energy_no_recip(x, box, topo0, system, pairs)
+    bd0 = total_mod.energy_no_recip(x, box, topo0, system, pairs,
+                                    xa_pc=xa_pc0)
 
     # ---------------- changed-molecule superset U (indices constant wrt x)
     mols_all = jnp.concatenate(
@@ -364,7 +366,7 @@ def diabat_diagonal_energies(x, box, batch: DiabatBatch, system: System,
 
 
 def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
-                      topo0=None, base_charge=None):
+                      topo0=None, base_charge=None, xa_pc0=None):
     """H_{parent(d), d} for every non-principle state d.
 
     com0 is the principle-topology per-molecule COM (computed once per
@@ -387,10 +389,12 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
 
     mol_pack = None
     if topo0 is not None:
-        # EXACTLY the expression energy_no_recip builds (same flat-gather
-        # HLO), so XLA CSEs this with the bonded/intra site pack -- one
-        # (M*A) row gather and one backward scatter for both consumers
-        pk = total_mod.mol_sites_packed(x, topo0)          # (M, A, 4)
+        # the SAME traced value energy_no_recip consumes (xa_pc0 from
+        # assemble_hamiltonian): one (M*A) row gather and ONE backward
+        # scatter serve both consumers (two identical gathers CSE in XLA,
+        # their transpose scatters do not)
+        pk = xa_pc0 if xa_pc0 is not None \
+            else total_mod.mol_sites_packed(x, topo0)      # (M, A, 4)
         mol_pack = (pk[..., 0:3], pk[..., 3], topo0.mol_atoms >= 0)
 
     def one(topo_d, hop_log_s, n_hops_s, act):
@@ -406,7 +410,8 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
         seen = jnp.any(jnp.tril(eq, -1) & mvalid[None, :], axis=1)
         mvalid = mvalid & ~seen
         sub = _sub_topology(topo_d, mols)
-        com_chain = molecule_com(x, sub, system.mass, box)          # (2C, 3)
+        com_chain = molecule_com(x, sub, system.mass, box,
+                                 mt_mass=system.mt.mass)    # (2C, 3)
         msafe = jnp.maximum(mols, 0)
         delta = jnp.where(mvalid[:, None], com_chain - com0[msafe], 0.0)
         com_s = com0.at[msafe].add(delta)
@@ -440,14 +445,17 @@ def assemble_hamiltonian(x, box, batch: DiabatBatch, system: System,
         from .enumerate import molecule_com
         com0 = molecule_com(x, topo0, system.mass, box)
 
+    xa_pc0 = total_mod.mol_sites_packed(x, topo0)          # shared pack
     diag, bd0, e_recip, row_over = diabat_diagonal_energies(
-        x, box, batch, system, pairs, cbw, base_charge, topo0, full_idx)
+        x, box, batch, system, pairs, cbw, base_charge, topo0, full_idx,
+        xa_pc0=xa_pc0)
     # fold the principle diabat's reciprocal energy into the reported
     # decomposition (E_elec includes recip+self, reference print_step)
     bds = bd0.replace(elec=bd0.elec + e_recip[0],
                       total=bd0.total + e_recip[0])
     offdiag = coupling_elements(x, box, batch, system, com0,
-                                topo0=topo0, base_charge=base_charge)
+                                topo0=topo0, base_charge=base_charge,
+                                xa_pc0=xa_pc0)
 
     # park inactive states far above, with distinct values (degenerate
     # eigenvalues would break nothing here -- c comes from the active block

@@ -71,14 +71,14 @@ class MDState:
     comp: Optional[CompCarry] = None
 
 
-def wrap_molecules(x, box, topo: Topology, mass):
+def wrap_molecules(x, box, topo: Topology, mass, mt_mass=None):
     """Translate whole molecules back into the box by their COM
     (shift_molecules_into_box).  Returns (wrapped x, wrapped com): the
     per-molecule COM is needed again by the EVB layer (enumeration COM
     cutoff, Zundel PBC convention) -- computing it once per step removes
     the repeated (M, A) gathers the round-1 profile flagged."""
     from ..evb.enumerate import molecule_com
-    com = molecule_com(x, topo, mass, box)
+    com = molecule_com(x, topo, mass, box, mt_mass=mt_mass)
     frac = pbc.xyz_to_frac(com, box)
     shift = jax.lax.stop_gradient(jnp.floor(frac)) @ box    # (M, 3)
     return x - shift[topo.atom_mol], com - shift
@@ -196,7 +196,8 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
     else:
         v = jnp.where(mobile, kick(state.v, ms.force, k1), state.v)
         x = jnp.where(mobile, state.x + v * dt, state.x)
-    x, com = wrap_molecules(x, state.box, topo, system.mass)
+    x, com = wrap_molecules(x, state.box, topo, system.mass,
+                            mt_mass=system.mt.mass)
 
     # neighbor rebuild when displacements exceed the skin
     skin = system.verlet_cutoff - system.real_space_cutoff

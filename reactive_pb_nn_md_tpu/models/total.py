@@ -240,11 +240,19 @@ def intra_nonbonded(x, box, topo: Topology, system: System, mols=None,
     return jnp.sum(el_terms), jnp.sum(vdw_terms)
 
 
-def energy_no_recip(x, box, topo: Topology, system: System, pairs):
+def energy_no_recip(x, box, topo: Topology, system: System, pairs,
+                    xa_pc=None):
     """All terms except reciprocal PME (which the EVB layer batches over
-    diabats with delta-Q grids).  Includes Ewald self (charge-dependent)."""
+    diabats with delta-Q grids).  Includes Ewald self (charge-dependent).
+
+    xa_pc: optional precomputed mol_sites_packed(x, topo) -- passing the
+    SAME traced value the coupling layer uses makes autodiff accumulate
+    both cotangents before the single backward scatter (two identical
+    gathers CSE in XLA, but their transpose scatters have different
+    operands and do not)."""
     e_real_elec, e_real_vdw = realspace_inter(x, box, topo, system, pairs)
-    xa_pc = mol_sites_packed(x, topo)
+    if xa_pc is None:
+        xa_pc = mol_sites_packed(x, topo)
     e_intra_elec, e_intra_vdw = intra_nonbonded(x, box, topo, system,
                                                 xa_pc=xa_pc)
     e_self = pme.ewald_self(topo.charge, system.alpha_sqrt)

@@ -88,11 +88,13 @@ def _bin_by_slab(c1, K, scap):
 
 def pme_slab_overflow(x, box, K, order, scap):
     """Standalone overflow probe: true iff any x-slab holds more than
-    scap atoms.  A (K,) bin count -- cheaper than the kernel's own
-    sort-based binning (the old sort-based probe did NOT CSE with it)."""
+    scap atoms.  A one-hot column count -- the old sort-based probe never
+    CSE'd with the kernel's binning, and a scatter-add bincount measured
+    ~0.09 ms/step (serialized)."""
     u = pbc.scaled_grid_coords(x, box, K)
     c1 = jnp.mod(jnp.floor(u[:, 0]) - (order - 1), K).astype(jnp.int32)
-    counts = jnp.zeros((K,), jnp.int32).at[c1].add(1)
+    counts = jnp.sum((c1[:, None] == jnp.arange(K, dtype=jnp.int32))
+                     .astype(jnp.float32), axis=0)
     return jnp.any(counts > scap)
 
 

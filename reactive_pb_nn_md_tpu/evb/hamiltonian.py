@@ -403,7 +403,13 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
         acceptor = hop_log_s[last, 3]
         proton = hop_log_s[last, 1]
 
-        # patch the chain molecules' COM rows in this diabat's topology
+        # chain molecules' COM under this diabat's topology, computed on
+        # the tiny 2C-row sub-topology.  The former full (M, 3) per-state
+        # COM patch (com0.at[mols].add under the state vmap, an (S, M, 3)
+        # copy+scatter per step) is unnecessary: base-pack chain rows
+        # cancel exactly between the full and subtraction sweeps of
+        # _vex_mol_major, so only these 2C rows -- and the donor/acceptor
+        # rows, read from com_chain -- ever need diabat-correct values.
         mols = jnp.concatenate([hop_log_s[:, 0], hop_log_s[:, 3]])  # (2C,)
         mvalid = mols >= 0
         eq = mols[:, None] == mols[None, :]
@@ -412,14 +418,12 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
         sub = _sub_topology(topo_d, mols)
         com_chain = molecule_com(x, sub, system.mass, box,
                                  mt_mass=system.mt.mass)    # (2C, 3)
-        msafe = jnp.maximum(mols, 0)
-        delta = jnp.where(mvalid[:, None], com_chain - com0[msafe], 0.0)
-        com_s = com0.at[msafe].add(delta)
 
         return coupling.coupling_element(x, box, topo_d, system,
                                          donor, acceptor, proton, act,
-                                         com_s, mol_pack=mol_pack,
-                                         chain=(mols, mvalid))
+                                         com0, mol_pack=mol_pack,
+                                         chain=(mols, mvalid, com_chain,
+                                                last))
 
     return jax.vmap(one)(batch.topo, dset.hop_log, dset.n_hops, active)
 

@@ -123,13 +123,23 @@ def coupling_element(x, box, topo: Topology, system: System,
     a_ai = jnp.maximum(a_atoms, 0)
 
     # zundel center of mass: acceptor min-imaged against the donor COM.
-    # com may be precomputed by the caller (one COM per step, patched for
-    # this diabat's chain molecules); every use below is stop_gradient
-    # (lattice-shift conventions), so a precomputed value is exact.
+    # com may be precomputed by the caller (one PRINCIPLE-topology COM per
+    # step); every use below is stop_gradient (lattice-shift conventions),
+    # so a precomputed value is exact.  chain, when given, carries the
+    # diabat-correct COM of the hop-chain molecules (com_chain) -- the
+    # donor/acceptor rows are read from it, and `com` itself is never
+    # patched (chain rows of the base-pack sweep cancel in
+    # _vex_mol_major, see there).
     if com is None:
         from ..evb.enumerate import molecule_com
         com = molecule_com(x, topo, system.mass, box)
-    com_d, com_a = com[d], com[a]
+    if chain is not None:
+        mols_c, mvalid_c, com_chain, last_c = chain
+        C = mols_c.shape[0] // 2
+        com_d = com_chain[last_c]
+        com_a = com_chain[C + last_c]
+    else:
+        com_d, com_a = com[d], com[a]
     shift_a = jax.lax.stop_gradient(
         (com_a - com_d) - pbc.min_image(com_a - com_d, box))
     mass_d = jnp.sum(jnp.where(d_am, system.mass[d_ai], 0.0))
@@ -137,9 +147,15 @@ def coupling_element(x, box, topo: Topology, system: System,
     zundel = (mass_d * com_d + mass_a * (com_a - shift_a)) / (mass_d + mass_a)
     zundel = jax.lax.stop_gradient(zundel)
 
-    # per-solvent-molecule lattice shift against the zundel COM
+    # per-solvent-molecule lattice shift against the zundel COM (from the
+    # UNPATCHED principle com; chain rows get their diabat-correct shift
+    # from com_chain below)
     shift_mol = jax.lax.stop_gradient(
         (com - zundel[None, :]) - pbc.min_image(com - zundel[None, :], box))
+    shift_chain = None
+    if chain is not None:
+        dc = com_chain - zundel[None, :]
+        shift_chain = jax.lax.stop_gradient(dc - pbc.min_image(dc, box))
 
     # exchange charges of the zundel atoms
     qx_d = jnp.where(d_am, evb.exchange_q_atype[topo.atom_type[d_ai]], 0.0)
@@ -163,9 +179,22 @@ def coupling_element(x, box, topo: Topology, system: System,
     zq = jnp.concatenate([qx_d, qx_a])                     # (2A,)
 
     if mol_pack is not None:
+        assert chain is not None, "mol_pack path requires chain"
         vex = _vex_mol_major(x, zx, zq, d, a, topo, shift_mol, mol_pack,
-                             chain)
+                             (mols_c, mvalid_c), shift_chain)
     else:
+        if chain is not None:
+            # atom-major reference path: chain molecules' solvent atoms
+            # use the diabat-correct shift directly.  mvalid_c dedups
+            # repeated molecules, so scatter-ADD of masked rows (at most
+            # one valid contribution per molecule) avoids the undefined
+            # write order a duplicate-index .set would have.
+            cm_c = jnp.maximum(mols_c, 0)
+            is_chain = jnp.zeros(shift_mol.shape[0], bool) \
+                .at[cm_c].max(mvalid_c)
+            patched = jnp.zeros_like(shift_mol).at[cm_c].add(
+                jnp.where(mvalid_c[:, None], shift_chain, 0.0))
+            shift_mol = jnp.where(is_chain[:, None], patched, shift_mol)
         shift_atom = shift_mol[topo.atom_mol]              # (N, 3)
         solvent = (topo.atom_mol != d) & (topo.atom_mol != a)  # (N,)
         xs = x - shift_atom                                # (N, 3)
@@ -196,7 +225,8 @@ def _vex_sum(zx, zq, xg, qg, shift_g, mask_g):
         (-1,) + (1,) * mask_g.ndim) * qg[None] / jnp.sqrt(r2), 0.0))
 
 
-def _vex_mol_major(x, zx, zq, d, a, topo, shift_mol, mol_pack, chain):
+def _vex_mol_major(x, zx, zq, d, a, topo, shift_mol, mol_pack, chain,
+                   shift_chain):
     """Exchange electrostatics without per-state (N,)-row gathers.
 
     The atom-major path gathers the per-molecule lattice shift onto every
@@ -223,6 +253,10 @@ def _vex_mol_major(x, zx, zq, d, a, topo, shift_mol, mol_pack, chain):
     full = _vex_sum(zx, zq, xm0, qm0, shift_mol[:, None, :], amask0)
 
     cm = jnp.maximum(mols, 0)
+    # full and sub both shift chain rows by the (diabat-incorrect)
+    # principle value -- identical positions/charges/mask, so the two
+    # terms cancel EXACTLY whatever the shift; only the add sweep needs
+    # the diabat-correct shift_chain.
     shift_c = shift_mol[cm][:, None, :]   # (2C, 1, 3)
     sub = _vex_sum(zx, zq, xm0[cm], qm0[cm], shift_c,
                    amask0[cm] & mvalid[:, None])
@@ -231,6 +265,7 @@ def _vex_mol_major(x, zx, zq, d, a, topo, shift_mol, mol_pack, chain):
     av = (atoms_d >= 0) & mvalid[:, None] \
         & ((cm != d) & (cm != a))[:, None]
     ai = jnp.maximum(atoms_d, 0)
-    add = _vex_sum(zx, zq, x[ai], topo.charge[ai], shift_c, av)
+    add = _vex_sum(zx, zq, x[ai], topo.charge[ai],
+                   shift_chain[:, None, :], av)
 
     return full - sub + add

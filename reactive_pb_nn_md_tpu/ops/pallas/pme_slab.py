@@ -153,12 +153,17 @@ def _spread_slab_kernel(pack_ref, qp_ref, *, P, order):
     qp_ref[pl.ds(b, order), :, :] = window + jnp.stack(contrib)
 
 
-def _interp_slab_kernel(pack_ref, gqp_ref, out_ref, *, P, order):
+def _interp_slab_kernel(pack_ref, win_ref, out_ref, *, P, order):
     """Backward: per slab, contract the cotangent window with the spline
     rows; outputs per-atom [gq, s1, s2, s3] (s = dE/du before the q and
-    box-transform factors)."""
+    box-transform factors).
+
+    The slab's `order` (P, P) cotangent windows arrive pre-stacked as one
+    (order*P, P) block (built by XLA in _bwd), so the z-contraction is ONE
+    MXU dot with wz and dwz stacked on the sublane axis -- 12 narrow
+    (scap, P) x (P, P) dots (K and N both padded 69->128 at K=64) become
+    one (2*scap, P) x (P, order*P) dot at ~81% lane utilization."""
     blk = pack_ref[...]                               # (scap, 8)
-    b = pl.program_id(0)
     wy, dwy = _weight_rows(blk[:, 1:2], P, order, True)
     wz, dwz = _weight_rows(blk[:, 2:3], P, order, True)
     wx, dwx = _weight_rows(blk[:, 0:1], 8, order, True)
@@ -176,15 +181,15 @@ def _interp_slab_kernel(pack_ref, gqp_ref, out_ref, *, P, order):
     # surface at the result scale (tests/test_pallas_pme.py would catch
     # it).  Mosaic kernel dots only support DEFAULT / HIGHEST.
     hi = jax.lax.Precision.HIGHEST
+    W = win_ref[0]                                    # (order*P, P)
+    wz2 = jnp.concatenate([wz, dwz], axis=0)          # (2*scap, P)
+    # M2[u, (o, y)] = sum_z wz2_u(z) W[(o, y), z]
+    M2 = jax.lax.dot_general(wz2, W, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f,
+                             precision=hi)            # (2*scap, order*P)
     for o in range(order):
-        C = gqp_ref[pl.ds(b + o, 1), :, :][0]         # (P_y, P_z)
-        # M[u, y] = sum_z wz_u(z) C[y, z]
-        M = jax.lax.dot_general(wz, C, (((1,), (1,)), ((), ())),
-                                preferred_element_type=f,
-                                precision=hi)         # (scap, P)
-        Md = jax.lax.dot_general(dwz, C, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f,
-                                 precision=hi)        # (scap, P)
+        M = M2[:scap, o * P:(o + 1) * P]              # (scap, P)
+        Md = M2[scap:, o * P:(o + 1) * P]
         t = jnp.sum(wy * M, axis=1, keepdims=True)    # (scap, 1)
         t2 = jnp.sum(dwy * M, axis=1, keepdims=True)
         t3 = jnp.sum(wy * Md, axis=1, keepdims=True)
@@ -259,6 +264,12 @@ def _bwd(K, order, scap, res, gQ):
     f = gQ.dtype
     P = K + order - 1
     gqp = _pad_halo(gQ, K, order)
+    # stack each slab's `order` cotangent windows once in XLA (one
+    # (K, order*P, P) copy, ~7 MB at K=64) so the kernel's z-contraction
+    # is a single wide MXU dot per slab
+    win = jnp.stack([jax.lax.dynamic_slice_in_dim(gqp, o, K, 0)
+                     for o in range(order)], axis=1)   # (K, order, P, P)
+    win = win.reshape(K, order * P, P)
     out = pl.pallas_call(
         functools.partial(_interp_slab_kernel, P=P, order=order),
         grid=(K,),
@@ -266,13 +277,13 @@ def _bwd(K, order, scap, res, gQ):
         in_specs=[
             pl.BlockSpec((scap, 8), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, P, P), lambda b: (0, 0, 0),
+            pl.BlockSpec((1, order * P, P), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((scap, 8), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         interpret=not _on_tpu(),
-    )(pack, gqp)
+    )(pack, win)
     outp = jnp.concatenate([out, jnp.zeros((1, 8), f)], axis=0)
     g = outp[slot]                                     # (N, 8) row gather
     gq = g[:, 0]

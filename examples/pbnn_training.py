@@ -1,24 +1,31 @@
 """Train the PB-NN diabatic coupling (function type 3).
 
-Demonstrates the two-stage recipe for replacing an analytic MS-EVB
-off-diagonal with a neural one:
+Demonstrates the two-stage recipe `reactive_pb_nn_md_tpu.nn.train`
+packages for replacing an analytic MS-EVB off-diagonal with a neural one:
 
-  1. pretrain the MLP geometric factor A_nn(q², R_OO) against a target
-     surface (here: the MS-EVB3 analytic form itself, standing in for
-     ab-initio coupling data);
-  2. fine-tune END-TO-END through the adiabatic ground-state energy of a
-     real water+hydronium box — the whole MS-EVB surface (enumeration,
-     per-diabat energies, eigh, Hellmann-Feynman) is differentiable with
-     respect to the MLP parameters.
+  1. `pretrain_geometric`: supervised fit of the MLP geometric factor
+     A_nn(q², R_OO) against a labelled coupling surface (here: the
+     MS-EVB3 analytic form itself, standing in for ab-initio data);
+  2. `finetune_adiabatic`: fine-tune END-TO-END through the adiabatic
+     ground-state energies of perturbed water+hydronium frames — the
+     whole MS-EVB surface (enumeration, per-diabat energies, coupling,
+     eigh) is differentiable with respect to the MLP parameters, and the
+     gradients are exact Hellmann-Feynman c·dH·c terms.
 
-Runs on CPU in a couple of minutes:
+Runs on CPU in a few minutes:
 
     python examples/pbnn_training.py
+
+Measured endpoint (26 waters + H3O+, 6 frames, 345 kJ/mol energy
+spread): energy RMSE vs the analytic engine 29.4 kJ/mol untrained →
+2.9 pretrained → 1.4 fine-tuned.
 """
 
+import argparse
 import pathlib
 import sys
 import tempfile
+import time
 
 import jax
 
@@ -37,113 +44,86 @@ from reactive_pb_nn_md_tpu.io.topfile import read_top  # noqa: E402
 from reactive_pb_nn_md_tpu.io.simpmt import read_sim_params  # noqa: E402
 from reactive_pb_nn_md_tpu.topology import build_system  # noqa: E402
 from reactive_pb_nn_md_tpu.models import pme  # noqa: E402
-from reactive_pb_nn_md_tpu.models.coupling import geometric_factor  # noqa: E402
 from reactive_pb_nn_md_tpu.ops import neighbors  # noqa: E402
-from reactive_pb_nn_md_tpu.evb import hamiltonian as ham  # noqa: E402
-from reactive_pb_nn_md_tpu.nn.coupling_mlp import init_mlp, apply_mlp  # noqa: E402
-
-
-def pretrain(params, msevb3_params, key, steps=400, lr=3e-3):
-    """Stage 1: regress A_nn onto the MS-EVB3 geometric factor over the
-    physically relevant (q², R_OO) range (R_OO 2.2-3.2 Å, |q| 0-0.6 Å)."""
-    import optax
-    opt = optax.adam(lr)
-    state = opt.init(params)
-
-    def target(q2, roo):
-        return geometric_factor(jnp.asarray(1), msevb3_params,
-                                jnp.stack([jnp.sqrt(q2), 0.0, 0.0]),
-                                jnp.stack([roo, 0.0, 0.0]))
-
-    @jax.jit
-    def step(params, state, key):
-        kq, kr = jax.random.split(key)
-        q2 = jax.random.uniform(kq, (256,), minval=0.0, maxval=0.36)
-        roo = jax.random.uniform(kr, (256,), minval=2.2, maxval=3.2)
-
-        def loss_fn(p):
-            pred = jax.vmap(lambda a, b: apply_mlp(p, a, b))(q2, roo)
-            ref = jax.vmap(target)(q2, roo)
-            return jnp.mean((pred - ref) ** 2)
-
-        loss, g = jax.value_and_grad(loss_fn)(params)
-        upd, state = opt.update(g, state)
-        return optax.apply_updates(params, upd), state, loss
-
-    for i in range(steps):
-        key, sub = jax.random.split(key)
-        params, state, loss = step(params, state, sub)
-        if i % 100 == 0 or i == steps - 1:
-            print(f"  pretrain step {i:4d}  mse {float(loss):.3e}")
-    return params
+from reactive_pb_nn_md_tpu.nn import train as nt  # noqa: E402
+from reactive_pb_nn_md_tpu.nn.coupling_mlp import init_mlp  # noqa: E402
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-water", type=int, default=26)
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--rattle", type=float, default=0.05, help="Angstrom")
+    ap.add_argument("--pretrain-steps", type=int, default=2000)
+    ap.add_argument("--finetune-steps", type=int, default=25)
+    args = ap.parse_args()
+
     tmp = pathlib.Path(tempfile.mkdtemp())
     ff_p, top_p, sim_p = write_fixture_files(tmp, msevb="yes")
     cfg = read_sim_params(sim_p)
-    frame = make_water_box(26, include_h3o=True, seed=4)
+    frame = make_water_box(args.n_water, include_h3o=True, seed=9)
     system, topo = build_system(frame, read_ffpmt(ff_p), read_top(top_p),
                                 cfg)
-
     names = system.ff.atype_names
-    iOW = names.index("OW")
-    iO, iH = names.index("O_h3o"), names.index("H_h3o")
-    msevb3_params = system.evb.cpl_params[iOW, iO, iH]
-    vconst_ref = float(msevb3_params[0])
+    triple = (names.index("OW"), names.index("O_h3o"), names.index("H_h3o"))
+    row = jnp.asarray(system.evb.cpl_params[triple])
 
-    # ---- stage 1: pretrain A_nn on the analytic geometric factor
-    key = jax.random.PRNGKey(0)
-    nn = init_mlp(key, hidden=(16, 16), vconst=vconst_ref,
-                  dtype=jnp.float64)
-    print("stage 1: pretraining A_nn(q^2, R_OO) on the MS-EVB3 form")
-    nn = pretrain(nn, msevb3_params, jax.random.PRNGKey(1))
-
-    # ---- stage 2: fine-tune through the adiabatic energy
-    cpl_func = system.evb.cpl_func.at[iOW, iO, iH].set(3)
-    sys_nn = system.replace(evb=system.evb.replace(cpl_func=cpl_func))
-
-    x = jnp.asarray(frame.xyz)
+    # ---- frames: rattled configurations of the same box, each with its
+    # own neighbor views (same static capacity -> stackable for vmap)
+    x0 = jnp.asarray(frame.xyz)
     box = jnp.asarray(frame.box)
-    cap = neighbors.suggest_capacity(system.n_atoms,
-                                     float(np.prod(np.diag(frame.box))),
-                                     system.verlet_cutoff)
-    nlist = neighbors.build_neighbor_list(x, box, system.verlet_cutoff, cap)
-    pairs = neighbors.neighbor_pairs(nlist)
+    cap = neighbors.suggest_capacity(
+        system.n_atoms, float(np.prod(np.diag(frame.box))),
+        system.verlet_cutoff)
+    rng = np.random.default_rng(3)
+    xs, fidx, pj, pm = [], [], [], []
+    for _ in range(args.frames):
+        xf = x0 + jnp.asarray(rng.normal(0.0, args.rattle, x0.shape))
+        nl = neighbors.build_neighbor_list(xf, box, system.verlet_cutoff,
+                                           cap)
+        _, j, m = neighbors.neighbor_pairs(nl)
+        xs.append(xf); fidx.append(nl.full_idx); pj.append(j); pm.append(m)
+    xs, fidx = jnp.stack(xs), jnp.stack(fidx)
+    pj, pm = jnp.stack(pj), jnp.stack(pm)
     cbw = pme.cb_half(box, system.pme_grid, system.spline_order,
-                      system.alpha_sqrt, dtype=x.dtype)
+                      system.alpha_sqrt, dtype=x0.dtype)
 
-    # reference adiabatic energies from the analytic coupling on a batch of
-    # jittered configurations (stand-in for ab-initio energies)
-    rng = np.random.default_rng(7)
-    configs = [x + jnp.asarray(rng.normal(0, 0.02, x.shape)) for _ in range(4)]
+    # ---- reference adiabatic energies (analytic MS-EVB3 coupling)
+    t0 = time.time()
+    e_ref = nt.make_frame_energy_fn(system, topo, box, cbw)(
+        None, xs, fidx, pj, pm)
+    print(f"[ref] {args.frames} adiabatic energies in "
+          f"{time.time() - t0:.1f}s; spread "
+          f"{float(e_ref.max() - e_ref.min()):.1f} kJ/mol")
 
-    def adiabatic(xx, sys_):
-        res, _ = ham.adiabatic_energy_force(xx, box, topo, sys_, pairs, cbw,
-                                            full_idx=nlist.full_idx)
-        return res.energy
+    # ---- NN system: switch the (OW, O_h3o, H_h3o) triple to type 3
+    sys_nn = system.replace(evb=system.evb.replace(
+        cpl_func=system.evb.cpl_func.at[triple].set(3)))
+    efn = nt.make_frame_energy_fn(sys_nn, topo, box, cbw)
 
-    e_ref = jnp.stack([adiabatic(c, system) for c in configs])
-    print("stage 2: fine-tuning through the adiabatic ground-state energy")
+    nn_raw = init_mlp(jax.random.PRNGKey(5), vconst=float(row[0]),
+                      dtype=jnp.float64)
+    e_raw = efn(nn_raw, xs, fidx, pj, pm)
+    rmse_raw = float(jnp.sqrt(jnp.mean((e_raw - e_ref) ** 2)))
+    print(f"[0] untrained MLP        energy rmse {rmse_raw:10.4f} kJ/mol")
 
-    def loss_fn(nn_params):
-        s = sys_nn.replace(evb=sys_nn.evb.replace(nn_params=nn_params))
-        e = jnp.stack([adiabatic(c, s) for c in configs])
-        return jnp.mean((e - e_ref) ** 2)
+    t0 = time.time()
+    nn, rmse_a = nt.pretrain_geometric(row, jax.random.PRNGKey(1),
+                                       steps=args.pretrain_steps)
+    e_pre = efn(nn, xs, fidx, pj, pm)
+    rmse_pre = float(jnp.sqrt(jnp.mean((e_pre - e_ref) ** 2)))
+    print(f"[1] pretrained on A      energy rmse {rmse_pre:10.4f} kJ/mol "
+          f"(A-surface rmse {rmse_a:.4f}; {time.time() - t0:.1f}s)")
 
-    import optax
-    opt = optax.adam(1e-3)
-    state = opt.init(nn)
-    step_fn = jax.jit(jax.value_and_grad(loss_fn))
-    for i in range(5):
-        loss, g = step_fn(nn)
-        upd, state = opt.update(g, state)
-        nn = optax.apply_updates(nn, upd)
-        print(f"  fine-tune step {i}  rmse {float(jnp.sqrt(loss)):.4f} kJ/mol")
-
-    print("done: nn_params trained; attach with "
-          "system.replace(evb=system.evb.replace(nn_params=nn)) and "
-          "coupling function type 3 in the topology")
+    t0 = time.time()
+    nn, r0, r1 = nt.finetune_adiabatic(
+        nn, sys_nn, topo, box, cbw, xs, fidx, pj, pm, e_ref,
+        steps=args.finetune_steps)
+    print(f"[2] finetuned end-to-end energy rmse {r1:10.4f} kJ/mol "
+          f"(from {r0:.4f}; {time.time() - t0:.1f}s)")
+    print(f"improvement vs untrained: {rmse_raw / max(r1, 1e-12):.0f}x")
+    print("attach with system.replace(evb=system.evb.replace(nn_params=nn))"
+          " and coupling function type 3 in the topology")
 
 
 if __name__ == "__main__":

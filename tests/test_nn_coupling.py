@@ -66,3 +66,67 @@ def test_nn_coupling_trainable(tmp_path):
     gnorm = sum(float(jnp.sum(jnp.abs(w))) for w in g["w"]) \
         + float(jnp.abs(g["vconst"]))
     assert np.isfinite(gnorm) and gnorm > 0.0
+
+
+def test_nn_coupling_learns_analytic_surface(tmp_path):
+    """PB-NN training workflow (nn/train.py): pretraining the MLP on the
+    analytic A(q^2, R_OO) surface must make the NN-coupled engine's
+    adiabatic energies track the analytic engine's on perturbed frames,
+    and end-to-end finetuning through the full engine (enumeration ->
+    per-diabat energies -> coupling -> eigh) must not degrade them."""
+    from reactive_pb_nn_md_tpu.nn import train as nt
+    from reactive_pb_nn_md_tpu.nn.coupling_mlp import init_mlp
+
+    ff_p, top_p, sim_p = write_fixture_files(tmp_path, msevb="yes")
+    cfg = read_sim_params(sim_p)
+    frame = make_water_box(26, include_h3o=True, seed=9)
+    system, topo = build_system(frame, read_ffpmt(ff_p), read_top(top_p),
+                                cfg)
+    names = system.ff.atype_names
+    triple = (names.index("OW"), names.index("O_h3o"),
+              names.index("H_h3o"))
+    row = jnp.asarray(system.evb.cpl_params[triple])
+
+    x0 = jnp.asarray(frame.xyz)
+    box = jnp.asarray(frame.box)
+    cap = neighbors.suggest_capacity(
+        system.n_atoms, float(np.prod(np.diag(frame.box))),
+        system.verlet_cutoff)
+    rng = np.random.default_rng(3)
+    xs, fidx, pj, pm = [], [], [], []
+    for _ in range(3):
+        xf = x0 + jnp.asarray(rng.normal(0.0, 0.05, x0.shape))
+        nl = neighbors.build_neighbor_list(xf, box, system.verlet_cutoff,
+                                           cap)
+        _, j, m = neighbors.neighbor_pairs(nl)
+        xs.append(xf); fidx.append(nl.full_idx); pj.append(j); pm.append(m)
+    xs, fidx = jnp.stack(xs), jnp.stack(fidx)
+    pj, pm = jnp.stack(pj), jnp.stack(pm)
+    cbw = pme.cb_half(box, system.pme_grid, system.spline_order,
+                      system.alpha_sqrt, dtype=x0.dtype)
+
+    e_ref = nt.make_frame_energy_fn(system, topo, box, cbw)(
+        None, xs, fidx, pj, pm)
+    assert np.all(np.isfinite(np.asarray(e_ref)))
+
+    sys_nn = system.replace(evb=system.evb.replace(
+        cpl_func=system.evb.cpl_func.at[triple].set(3)))
+    efn = nt.make_frame_energy_fn(sys_nn, topo, box, cbw)
+
+    nn_raw = init_mlp(jax.random.PRNGKey(5), vconst=float(row[0]),
+                      dtype=jnp.float64)
+    e_raw = efn(nn_raw, xs, fidx, pj, pm)
+    rmse_raw = float(jnp.sqrt(jnp.mean((e_raw - e_ref) ** 2)))
+
+    nn, rmse_a = nt.pretrain_geometric(row, jax.random.PRNGKey(1),
+                                       steps=2000)
+    assert rmse_a < 0.08  # A-surface fit (labels span ~[0.1, 1.1])
+    e_pre = efn(nn, xs, fidx, pj, pm)
+    rmse_pre = float(jnp.sqrt(jnp.mean((e_pre - e_ref) ** 2)))
+    # pretraining must recover most of the analytic coupling's effect
+    assert rmse_pre < 0.25 * rmse_raw, (rmse_pre, rmse_raw)
+
+    nn, r0, r1 = nt.finetune_adiabatic(
+        nn, sys_nn, topo, box, cbw, xs, fidx, pj, pm, e_ref, steps=5)
+    assert np.isfinite(r1)
+    assert r1 <= r0 * 1.01, (r0, r1)  # descends (or is at the floor)

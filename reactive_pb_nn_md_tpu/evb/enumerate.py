@@ -31,8 +31,6 @@ from flax import struct
 
 from ..topology import System, Topology
 from ..utils import pbc
-from ..utils.constants import (EVB_FIRST_SOLVATION_CUTOFF,
-                               EVB_REACTIVE_PAIR_DISTANCE)
 
 
 @struct.dataclass
@@ -159,7 +157,7 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         # ~1.4 ms/step of pure wasted bandwidth (only donor rows are read)
         dcom = pbc.min_image(com[d][None, :] - com, box)
         com_ok_d = jnp.sum(dcom * dcom, -1) \
-            < EVB_FIRST_SOLVATION_CUTOFF ** 2              # (M,)
+            < system.evb_first_solvation_cutoff ** 2       # (M,)
         d_mtype = topo.mol_mtype[d]
         pslots = mt.proton_slots[d_mtype]                  # (P,)
         slot_ok = pslots >= 0
@@ -192,7 +190,7 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
         cand = (proton_ok[:, None] & row_ok & base_j
                 & (jmol != d)
                 & com_ok_d[jmol]
-                & (dist2 < EVB_REACTIVE_PAIR_DISTANCE ** 2)
+                & (dist2 < system.evb_reactive_pair_distance ** 2)
                 & active)
         # first Anb candidate columns (ascending global j: dense columns
         # are ordered, react_idx rows are sorted by the neighbor build)

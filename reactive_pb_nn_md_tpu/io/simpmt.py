@@ -59,6 +59,10 @@ class SimConfig:
     evb_hard_max_states: int = None
     evb_max_chain: int = 3
     evb_max_neighbors: int = 10
+    # hop-search geometry thresholds -- compile-time constants in the
+    # reference (glob_v.f90:54-55), runtime keys here (Angstrom)
+    evb_first_solvation_cutoff: float = 5.0
+    evb_reactive_pair_distance: float = 2.5
     seed: int = 0
     # "eigh" = jnp.linalg.eigh (measured FASTER on TPU for the padded
     # 32x32: 12.8 vs 16.8 ms/step -- QDWH on a tiny matrix is cheap, LU
@@ -87,6 +91,16 @@ class SimConfig:
             self.evb_hard_max_states = max(80, self.evb_max_states)
         if self.evb_hard_max_states < self.evb_max_states:
             raise ValueError("evb_hard_max_states must be >= evb_max_states")
+        if self.evb_reactive_pair_distance <= 0 \
+                or self.evb_first_solvation_cutoff <= 0:
+            raise ValueError("EVB hop-search cutoffs must be positive")
+        if self.ms_evb_simulation and \
+                self.evb_reactive_pair_distance > self.real_space_cutoff:
+            # the short-cutoff reactive adjacency rides the neighbor list's
+            # coverage guarantee (use cutoff + skin); a pair distance past
+            # the real-space cutoff would silently miss hop candidates
+            raise ValueError("evb_reactive_pair_distance must be <= "
+                             "real_space_cutoff")
         return self
 
 
@@ -107,7 +121,8 @@ _INT_KEYS = {"n_step", "n_output", "n_exclusions", "checkpoint_velocity",
              "seed"}
 _FLOAT_KEYS = {"temperature", "initial_temp", "friction_coeff", "pressure",
                "baroscale", "delta_t", "real_space_cutoff", "verlet_cutoff",
-               "alpha_sqrt"}
+               "alpha_sqrt", "evb_first_solvation_cutoff",
+               "evb_reactive_pair_distance"}
 # section headers and other non-key lines that are part of the format
 _IGNORED_FIRST_TOKENS = {"simulation"}
 

@@ -302,10 +302,9 @@ def initial_md_state(state: State, topo: Topology, system: System, cbw,
     # on overflow, like the main capacity).
     react_cutoff = 0.0
     if system.ms_evb:
-        from ..utils.constants import EVB_REACTIVE_PAIR_DISTANCE
         import numpy as _np
         skin = system.verlet_cutoff - system.real_space_cutoff
-        react_cutoff = float(EVB_REACTIVE_PAIR_DISTANCE + skin)
+        react_cutoff = float(system.evb_reactive_pair_distance + skin)
         if react_cap is None:
             vol = abs(float(_np.linalg.det(_np.asarray(state.box))))
             react_cap = neighbors.suggest_capacity(

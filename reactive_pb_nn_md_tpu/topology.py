@@ -151,6 +151,12 @@ class System:
     evb_max_states: int = struct.field(pytree_node=False, default=80)
     evb_max_chain: int = struct.field(pytree_node=False, default=3)
     evb_max_neighbors: int = struct.field(pytree_node=False, default=10)
+    # hop-search thresholds (runtime keys; reference compile-time
+    # constants glob_v.f90:54-55)
+    evb_first_solvation_cutoff: float = struct.field(
+        pytree_node=False, default=5.0)
+    evb_reactive_pair_distance: float = struct.field(
+        pytree_node=False, default=2.5)
     ms_evb: bool = struct.field(pytree_node=False, default=False)
     has_sapt: bool = struct.field(pytree_node=False, default=False)
     eigensolver: str = struct.field(pytree_node=False, default="eigh")
@@ -644,6 +650,10 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         evb_max_states=int(cfg.evb_max_states),
         evb_max_chain=int(cfg.evb_max_chain),
         evb_max_neighbors=int(cfg.evb_max_neighbors),
+        evb_first_solvation_cutoff=float(
+            getattr(cfg, "evb_first_solvation_cutoff", 5.0)),
+        evb_reactive_pair_distance=float(
+            getattr(cfg, "evb_reactive_pair_distance", 2.5)),
         ms_evb=bool(cfg.ms_evb_simulation),
         has_sapt=bool((vdw_type == 1).any()),
         eigensolver=str(getattr(cfg, "eigensolver", "eigh")),

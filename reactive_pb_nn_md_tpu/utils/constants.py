@@ -26,7 +26,10 @@ KB = 0.008314462
 PI = np.pi
 SQRT_PI = np.sqrt(np.pi)
 
-# MS-EVB hop-search thresholds (glob_v.f90:54-55)
+# MS-EVB hop-search threshold DEFAULTS (glob_v.f90:54-55).  These are
+# compile-time constants in the reference; here they are runtime sim keys
+# (evb_first_solvation_cutoff / evb_reactive_pair_distance in the sim .pmt,
+# carried on System) and these module constants are only the defaults.
 EVB_FIRST_SOLVATION_CUTOFF = 5.0     # Angstrom, COM-COM
 EVB_REACTIVE_PAIR_DISTANCE = 2.5     # Angstrom, H .. acceptor atom
 

@@ -292,3 +292,37 @@ def test_symmetric_zundel(tmp_path_factory):
     mean = 0.5 * (H[0, 0] + H[1, 1])
     split = np.sqrt((0.5 * (H[0, 0] - H[1, 1])) ** 2 + H[0, 1] ** 2)
     np.testing.assert_allclose(float(res.energy), mean - split, rtol=1e-9)
+
+
+def test_enumeration_cutoffs_are_runtime_keys(tmp_path_factory):
+    """evb_first_solvation_cutoff / evb_reactive_pair_distance are sim keys
+    (reference compile-time constants glob_v.f90:54-55): tightening them
+    shrinks the enumerated state set, defaults reproduce the default set,
+    and an unsafe pair distance (> real_space_cutoff) is rejected."""
+    counts = {}
+    for name, extra in [
+            ("default", ""),
+            ("explicit-default", "evb_first_solvation_cutoff  5.0\n"
+                                 "evb_reactive_pair_distance  2.5\n"),
+            ("tight", "evb_first_solvation_cutoff  3.2\n"
+                      "evb_reactive_pair_distance  1.4\n")]:
+        tmp = tmp_path_factory.mktemp(f"cut_{name}")
+        ff_p, top_p, sim_p = write_fixture_files(tmp, msevb="yes",
+                                                 extra=extra)
+        cfg = read_sim_params(sim_p)
+        frame = make_water_box(63, include_h3o=True, seed=7)
+        system, topo = build_system(frame, read_ffpmt(ff_p),
+                                    read_top(top_p), cfg)
+        dset = enumerate_diabats(jnp.asarray(frame.xyz),
+                                 jnp.asarray(frame.box), topo, system)
+        counts[name] = int(dset.n_states)
+    assert counts["explicit-default"] == counts["default"]
+    # 1.4 A excludes every O-H hop candidate at equilibrium O..H ~ 1.5+ A
+    # in this rattled lattice; the set collapses toward the principle state
+    assert counts["tight"] < counts["default"]
+
+    tmp = tmp_path_factory.mktemp("cut_bad")
+    ff_p, top_p, sim_p = write_fixture_files(
+        tmp, msevb="yes", extra="evb_reactive_pair_distance  9.0\n")
+    with pytest.raises(ValueError, match="real_space_cutoff"):
+        read_sim_params(sim_p)

@@ -206,11 +206,18 @@ def enumerate_diabats(x, box, topo: Topology, system: System,
     lvl_begin = jnp.asarray(0, jnp.int32)
     lvl_end = jnp.asarray(1, jnp.int32)
 
+    P_stat = int(mt.proton_slots.shape[1])
     for level in range(C):
-        # level 0 expands exactly one state (the principle diabat): run it
-        # at static batch size 1 instead of the padded S (the full-S
-        # expansion was ~1/3 of the enumeration cost)
-        SL = 1 if level == 0 else S
+        # static per-level batch bounds: level 0 expands exactly one state
+        # (the principle diabat); level 1 can only expand the <= P*Anb
+        # 1-hop states (they occupy rows [1, 1 + P*Anb) by construction).
+        # Deeper levels must sweep the full padded batch.
+        if level == 0:
+            SL = 1
+        elif level == 1:
+            SL = min(S, 1 + P_stat * Anb)
+        else:
+            SL = S
         sidx_l = sidx[:SL]
         at_level = (sidx_l >= lvl_begin) & (sidx_l < lvl_end) \
             & (meta[:SL, 3] == 0)

@@ -490,33 +490,17 @@ class EvbResult:
     # an on-demand adjacency row exceeded its capacity (cell path);
     # handled by the driver's NEIGHBOR regrow, not the state-cap regrow
     row_overflow: jnp.ndarray = None
+    # the principle diabat's topology row, gathered inside the evaluation
+    # (under the two-tier cond this lets XLA dead-code-eliminate the
+    # padded (S, ...) batch.topo output on the hot path -- the integrator
+    # needs only this row)
+    principle_topo: object = None
 
 
-def adiabatic_energy_force(x, box, topo: Topology, system: System,
-                           pairs, cbw, full_idx=None,
-                           react_idx=None, com=None) -> tuple:
-    """Full MS-EVB force/energy evaluation; returns (EvbResult, DiabatBatch).
-
-    react_idx: optional short-cutoff adjacency (nlist.react_idx) -- the
-    narrowest rows that still cover evb_reactive_pair_distance; used for
-    the hop-candidate search only.
-    com: optional precomputed per-molecule COM of (x, topo); every use is
-    under stop_gradient (candidate cutoffs, PBC shift conventions)."""
-    if full_idx is None:
-        # derive a full adjacency from the half pair list is not possible
-        # here; callers on the hot path pass nlist.full_idx.  Fallback:
-        # dense all-pairs rows (testing convenience only).
-        N = system.n_atoms
-        full_idx = jnp.where(
-            jnp.eye(N, dtype=bool), -1,
-            jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (N, N)))
-    from .enumerate import molecule_com
-    if com is None:
-        com = molecule_com(x, topo, system.mass, box)
-    com = jax.lax.stop_gradient(com)
-    dset = enumerate_diabats(
-        x, box, topo, system,
-        full_idx=react_idx if react_idx is not None else full_idx, com=com)
+def _eval_at_cap(x, box, topo: Topology, system: System, pairs, cbw,
+                 full_idx, com, dset: DiabatSet) -> tuple:
+    """Pipeline at cap system.evb_max_states for a given enumeration:
+    diabat topologies -> Hamiltonian -> ground state -> H-F forces."""
     batch = build_diabat_topologies(topo, dset, system)
     base_charge = topo.charge
 
@@ -542,10 +526,141 @@ def adiabatic_energy_force(x, box, topo: Topology, system: System,
         row_over = row_over | dset.row_overflow
     principle = jnp.argmax(jnp.abs(c))
     new_h = dset.hydronium_of[principle]
+    ptopo = jax.tree_util.tree_map(lambda a: a[principle], batch.topo)
     result = EvbResult(
         energy=energy, force=-grad, eigenvector=c, n_states=dset.n_states,
         principle=principle.astype(jnp.int32), new_hydronium=new_h,
         hamiltonian=H, breakdown=bds, overflow=dset.overflow,
         hydronium_of=dset.hydronium_of, n_hops_of=dset.n_hops,
-        row_overflow=row_over)
+        row_overflow=row_over, principle_topo=ptopo)
     return result, batch
+
+
+def small_state_tier(system: System) -> int:
+    """Effective small-tier cap for the two-tier evaluation; 0 = off.
+
+    evb_small_states on System: -1 auto (48 when the cap is >= 64 --
+    sized from the measured equilibrated flagship distribution: n_states
+    p50 = 33, p90 = 46, p99 = 56, so ~92% of steps fit the small tier),
+    0 disabled, > 0 explicit.
+
+    Auto applies only on non-CPU backends: the tier is a TPU production
+    optimization, and XLA:CPU has segfaulted compiling the large eager
+    `cond` primitive programs the tier produces at cap 80 (reproduced on
+    the round-3 worker; jitted whole-step compiles were fine).  An
+    explicit evb_small_states > 0 is honored on any backend."""
+    S = system.evb_max_states
+    s1 = system.evb_small_states
+    if s1 < 0:
+        import jax
+        if jax.default_backend() == "cpu":
+            return 0
+        s1 = 48 if S >= 64 else 0
+    if s1 <= 1 or s1 >= S:
+        return 0
+    return s1
+
+
+def _pad_states(res: EvbResult, batch: DiabatBatch, S: int):
+    """Pad a small-tier (S1-capped) result up to the full cap S so both
+    lax.cond branches return identical shapes.  Padded rows are inert:
+    every consumer masks by `sidx < n_states` or gathers a row index
+    < n_states (the integrator reads batch.topo[principle])."""
+    S1 = res.eigenvector.shape[0]
+    pad = S - S1
+    sidx = jnp.arange(S)
+
+    def pad0(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    H = jnp.zeros((S, S), res.hamiltonian.dtype)
+    H = H.at[:S1, :S1].set(res.hamiltonian)
+    # park the padded diagonal like assemble_hamiltonian parks inactive
+    # states (diagnostic only -- the eigensolver never sees this matrix)
+    H = jnp.where((sidx[:, None] == sidx[None, :]) & (sidx[:, None] >= S1),
+                  INACTIVE_DIAG * (1.0 + sidx[:, None] / S), H)
+
+    res = res.replace(
+        eigenvector=pad0(res.eigenvector, 0),
+        hamiltonian=H,
+        hydronium_of=pad0(res.hydronium_of, -1),
+        n_hops_of=pad0(res.n_hops_of, 0))
+
+    dset = batch.dset
+    dset = dset.replace(
+        hop_log=pad0(dset.hop_log, -1),
+        n_hops=pad0(dset.n_hops, 0),
+        parent=pad0(dset.parent, -1),
+        hydronium_of=pad0(dset.hydronium_of, -1))
+    # padded topology rows repeat state 0 (a valid topology) so any
+    # accidental consumer sees self-consistent data rather than zeros
+    topo_b = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0),
+        batch.topo)
+    batch = DiabatBatch(dset=dset, topo=topo_b,
+                        changed_atoms=pad0(batch.changed_atoms, -1),
+                        changed_mask=pad0(batch.changed_mask, False))
+    return res, batch
+
+
+def adiabatic_energy_force(x, box, topo: Topology, system: System,
+                           pairs, cbw, full_idx=None,
+                           react_idx=None, com=None) -> tuple:
+    """Full MS-EVB force/energy evaluation; returns (EvbResult, DiabatBatch).
+
+    react_idx: optional short-cutoff adjacency (nlist.react_idx) -- the
+    narrowest rows that still cover evb_reactive_pair_distance; used for
+    the hop-candidate search only.
+    com: optional precomputed per-molecule COM of (x, topo); every use is
+    under stop_gradient (candidate cutoffs, PBC shift conventions).
+
+    Two-tier evaluation (small_state_tier): the padded state batch is the
+    engine's whole S-scaling cost (every per-state stage pays the cap, not
+    the live n_states; measured 38 us device/step per padded state on the
+    flagship box), yet the equilibrated liquid needs the reference's
+    production cap of 80 (glob_v.f90:60) only for ~1%-tail excursions.  So
+    the pipeline runs at a small cap S1 and escalates to the full cap
+    inside jax.lax.cond only when the S1 enumeration overflows -- one
+    compiled program, per-step granularity, exact physics (the small-tier
+    state set is bit-identical to the full enumeration whenever it fits,
+    and TPU conditionals execute only the taken branch)."""
+    if full_idx is None:
+        # derive a full adjacency from the half pair list is not possible
+        # here; callers on the hot path pass nlist.full_idx.  Fallback:
+        # dense all-pairs rows (testing convenience only).
+        N = system.n_atoms
+        full_idx = jnp.where(
+            jnp.eye(N, dtype=bool), -1,
+            jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (N, N)))
+    from .enumerate import molecule_com
+    if com is None:
+        com = molecule_com(x, topo, system.mass, box)
+    com = jax.lax.stop_gradient(com)
+    enum_src = react_idx if react_idx is not None else full_idx
+
+    S1 = small_state_tier(system)
+    if not S1:
+        dset = enumerate_diabats(x, box, topo, system, full_idx=enum_src,
+                                 com=com)
+        return _eval_at_cap(x, box, topo, system, pairs, cbw, full_idx,
+                            com, dset)
+
+    S = system.evb_max_states
+    sys_small = system.replace(evb_max_states=S1)
+    dset_small = enumerate_diabats(x, box, topo, sys_small,
+                                   full_idx=enum_src, com=com)
+
+    def small_branch(xx):
+        res, batch = _eval_at_cap(xx, box, topo, sys_small, pairs, cbw,
+                                  full_idx, com, dset_small)
+        return _pad_states(res, batch, S)
+
+    def big_branch(xx):
+        dset_big = enumerate_diabats(xx, box, topo, system,
+                                     full_idx=enum_src, com=com)
+        return _eval_at_cap(xx, box, topo, system, pairs, cbw, full_idx,
+                            com, dset_big)
+
+    return jax.lax.cond(dset_small.overflow, big_branch, small_branch, x)

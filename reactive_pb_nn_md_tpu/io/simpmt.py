@@ -59,6 +59,12 @@ class SimConfig:
     evb_hard_max_states: int = None
     evb_max_chain: int = 3
     evb_max_neighbors: int = 10
+    # small-tier cap for the two-tier per-state evaluation: the pipeline
+    # runs at this cap and escalates to evb_max_states inside lax.cond only
+    # on the rare steps whose enumeration overflows it (exact physics,
+    # ~2x cheaper at the reference's production cap of 80).
+    # -1 = auto (48 when evb_max_states >= 64), 0 = off, > 0 explicit.
+    evb_small_states: int = -1
     # hop-search geometry thresholds -- compile-time constants in the
     # reference (glob_v.f90:54-55), runtime keys here (Angstrom)
     evb_first_solvation_cutoff: float = 5.0
@@ -118,7 +124,7 @@ _INT_KEYS = {"n_step", "n_output", "n_exclusions", "checkpoint_velocity",
              "barofreq", "na_nslist", "nb_nslist", "nc_nslist", "pme_grid",
              "spline_order", "n_threads", "debug", "evb_max_states",
              "evb_hard_max_states", "evb_max_chain", "evb_max_neighbors",
-             "seed"}
+             "evb_small_states", "seed"}
 _FLOAT_KEYS = {"temperature", "initial_temp", "friction_coeff", "pressure",
                "baroscale", "delta_t", "real_space_cutoff", "verlet_cutoff",
                "alpha_sqrt", "evb_first_solvation_cutoff",

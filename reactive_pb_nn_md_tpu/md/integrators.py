@@ -135,8 +135,7 @@ def evaluate_forces(x, box, topo, system: System, nlist, cbw,
                                                 cbw, full_idx=full_src,
                                                 react_idx=react_src,
                                                 com=com)
-        new_topo = jax.tree_util.tree_map(
-            lambda a: a[res.principle], batch.topo)
+        new_topo = res.principle_topo
         hopped = res.new_hydronium != topo.hydronium_mol
         return ForceEval(potential=res.energy, breakdown=res.breakdown,
                          force=res.force, topo=new_topo,

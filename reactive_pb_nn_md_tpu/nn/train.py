@@ -30,19 +30,24 @@ from ..models.coupling import geometric_factor
 from ..evb import hamiltonian as _ham
 
 
-def analytic_geometric_surface(cpl_params_row, q2, roo):
-    """Label source: the MS-EVB3 (type 1) A factor on (q2, roo) batches.
+def analytic_geometric_surface(cpl_params_row, q2, roo, cpl_func=1):
+    """Label source: the analytic A factor on (q2, roo) batches.
 
     cpl_params_row: the (>=10,) coupling parameter row for the triple
-    being replaced (evb.cpl_params[t1, t2, t3])."""
+    being replaced (evb.cpl_params[t1, t2, t3]); cpl_func: that triple's
+    function type (1 = MS-EVB3, 2 = product-of-Gaussians -- the two
+    analytic dispatch targets, ms_evb.f90:1196-1263).  Pass the row's own
+    evb.cpl_func value; a type-2 row pretrained against the type-1 form
+    would silently learn the wrong surface."""
     p = jnp.asarray(cpl_params_row)
+    func = jnp.asarray(cpl_func)
 
     def one(q2s, roos):
         # geometric_factor consumes vectors; synthesize axis-aligned ones
         qv = jnp.stack([jnp.sqrt(jnp.maximum(q2s, 0.0)), 0.0 * q2s,
                         0.0 * q2s])
         rv = jnp.stack([roos, 0.0 * roos, 0.0 * roos])
-        return geometric_factor(jnp.asarray(1), p, qv, rv)
+        return geometric_factor(func, p, qv, rv)
 
     return jax.vmap(one)(q2, roo)
 
@@ -59,17 +64,20 @@ def sample_geometries(key, n, q2_range=(0.0, 0.6), roo_range=(2.2, 3.2),
 
 
 def pretrain_geometric(cpl_params_row, key, hidden=(16, 16), n_samples=2048,
-                       steps=2000, lr=1e-2, dtype=jnp.float64):
+                       steps=2000, lr=1e-2, dtype=jnp.float64, cpl_func=1):
     """Stage 1: supervised fit of the MLP to labelled A(q2, roo).
 
     Returns (nn_params, final_rmse).  vconst is copied from the analytic
     row (it multiplies the whole element, so it is degenerate with the
     MLP's output scale during pretraining; finetuning can move it).
-    Measured on the MS-EVB3 surface (labels in ~[0.1, 1.1]): rmse 0.013
-    at 2000 steps, 0.009 at 4000 (cosine-decayed adam, (16, 16) tanh)."""
+    cpl_func selects the analytic label surface (the triple's own
+    evb.cpl_func value).  Measured on the MS-EVB3 surface (labels in
+    ~[0.1, 1.1]): rmse 0.013 at 2000 steps, 0.009 at 4000
+    (cosine-decayed adam, (16, 16) tanh)."""
     kd, ki = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
     q2, roo = sample_geometries(kd, n_samples, dtype=dtype)
-    labels = analytic_geometric_surface(cpl_params_row, q2, roo)
+    labels = analytic_geometric_surface(cpl_params_row, q2, roo,
+                                        cpl_func=cpl_func)
 
     nn = init_mlp(ki, hidden=hidden, vconst=float(cpl_params_row[0]),
                   dtype=dtype)
@@ -130,17 +138,64 @@ def make_frame_energy_fn(system, topo, box, cbw):
     return jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
 
 
+def make_frame_energy_force_fn(system, topo, box, cbw):
+    """Vmapped (energy, forces) over frames -- the force-matching view.
+
+    The force is the exact Hellmann-Feynman position gradient of the
+    adiabatic energy; differentiating the force-matching loss w.r.t. the
+    MLP parameters then takes d(force)/d(params) THROUGH the engine (a
+    forward-over-reverse second derivative of the whole reactive
+    pipeline), which is the canonical ab-initio MD training objective."""
+
+    def one(nn_params, x, full_idx, j, mask):
+        sys_nn = system.replace(
+            evb=system.evb.replace(nn_params=nn_params))
+        i = jnp.arange(x.shape[0], dtype=jnp.int32)[:, None]
+
+        def e_of_x(xx):
+            return adiabatic_energy(xx, box, topo, sys_nn, (i, j, mask),
+                                    cbw, full_idx)
+
+        e, g = jax.value_and_grad(e_of_x)(x)
+        return e, -g
+
+    return jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
+
+
 def finetune_adiabatic(nn, system, topo, box, cbw, xs, full_idxs,
-                       pair_j, pair_mask, e_ref, steps=60, lr=1e-3):
-    """Stage 2: descend || E_adiabatic(frames; nn) - e_ref ||^2 through the
-    full reactive engine.  Returns (nn_params, rmse_before, rmse_after)."""
+                       pair_j, pair_mask, e_ref, steps=60, lr=1e-3,
+                       f_ref=None, force_weight=0.1):
+    """Stage 2: descend the whole-frame objective through the full
+    reactive engine.  Energy-only by default; with f_ref (F, N, 3) the
+    loss adds force matching,
+
+        L = mean (E - e_ref)^2 + w * mean |F - f_ref|^2 * 3N,
+
+    (w in (kJ/mol)^2 per (kJ/mol/A)^2; the 3N restores comparable scale
+    between the one energy residual and the 3N force residuals).
+    Returns (nn_params, rmse_before, rmse_after) of the ENERGY residual;
+    with f_ref the force RMSE before/after is appended:
+    (nn, e_rmse0, e_rmse1, f_rmse0, f_rmse1)."""
     energies = make_frame_energy_fn(system, topo, box, cbw)
+    ef = make_frame_energy_force_fn(system, topo, box, cbw) \
+        if f_ref is not None else None
     opt = optax.adam(lr)
     opt_state = opt.init(nn)
 
-    def loss_fn(params):
+    def e_loss(params):
         e = energies(params, xs, full_idxs, pair_j, pair_mask)
         return jnp.mean((e - e_ref) ** 2)
+
+    def f_mse(params):
+        _, f = ef(params, xs, full_idxs, pair_j, pair_mask)
+        return jnp.mean(jnp.sum((f - f_ref) ** 2, axis=-1))
+
+    def loss_fn(params):
+        if f_ref is None:
+            return e_loss(params)
+        e = energies(params, xs, full_idxs, pair_j, pair_mask)
+        n3 = 3.0 * xs.shape[1]
+        return jnp.mean((e - e_ref) ** 2) + force_weight * n3 * f_mse(params)
 
     @jax.jit
     def update(params, opt_state):
@@ -148,9 +203,12 @@ def finetune_adiabatic(nn, system, topo, box, cbw, xs, full_idxs,
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rmse0 = float(jnp.sqrt(loss_fn(nn)))
-    loss = None
+    rmse0 = float(jnp.sqrt(e_loss(nn)))
+    f0 = float(jnp.sqrt(f_mse(nn) / 3.0)) if f_ref is not None else None
     for _ in range(steps):
-        nn, opt_state, loss = update(nn, opt_state)
-    rmse1 = float(jnp.sqrt(loss_fn(nn)))
-    return nn, rmse0, rmse1
+        nn, opt_state, _ = update(nn, opt_state)
+    rmse1 = float(jnp.sqrt(e_loss(nn)))
+    if f_ref is None:
+        return nn, rmse0, rmse1
+    f1 = float(jnp.sqrt(f_mse(nn) / 3.0))
+    return nn, rmse0, rmse1, f0, f1

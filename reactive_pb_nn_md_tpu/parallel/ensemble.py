@@ -63,13 +63,39 @@ def replica_sharding(mesh, ms_batch):
     return jax.tree_util.tree_map(spec, ms_batch)
 
 
+def _no_tier(system):
+    """Replica execution disables the two-tier state evaluation: under
+    vmap a lax.cond lowers to both-branches-execute (select), so the
+    escalation branch would run for EVERY replica on every step -- the
+    tier would cost, not save.  Replicas run one static cap."""
+    return system.replace(evb_small_states=0)
+
+
 def make_replica_step(system, cbw, dt, ensemble, friction=0.1,
                       temperature=300.0):
     """Jitted, vmapped MD step over the replica axis."""
+    system = _no_tier(system)
 
     def one(ms):
         return integrators.md_step.__wrapped__(
             ms, system, cbw, dt, ensemble, friction, temperature)
+
+    return jax.jit(jax.vmap(one))
+
+
+def make_replica_scan(system, cbw, dt, ensemble, n_steps, friction=0.1,
+                      temperature=300.0):
+    """Jitted scan of the vmapped MD step: R replicas advance n_steps in
+    ONE dispatch.  This is the single-chip ensemble production shape (the
+    reference's OpenMP replacement for independent umbrella windows /
+    temperature ladders, SURVEY §2.3): a sub-1000-atom box underfills the
+    chip, so aggregate throughput comes from batching replicas, not from
+    sharding one tiny box."""
+    system = _no_tier(system)
+
+    def one(ms):
+        return integrators.md_scan.__wrapped__(
+            ms, system, cbw, dt, ensemble, n_steps, friction, temperature)
 
     return jax.jit(jax.vmap(one))
 

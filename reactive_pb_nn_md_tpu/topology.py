@@ -157,6 +157,9 @@ class System:
         pytree_node=False, default=5.0)
     evb_reactive_pair_distance: float = struct.field(
         pytree_node=False, default=2.5)
+    # small-tier cap for the two-tier state evaluation
+    # (evb.hamiltonian.small_state_tier): -1 auto, 0 off, >0 explicit
+    evb_small_states: int = struct.field(pytree_node=False, default=-1)
     ms_evb: bool = struct.field(pytree_node=False, default=False)
     has_sapt: bool = struct.field(pytree_node=False, default=False)
     eigensolver: str = struct.field(pytree_node=False, default="eigh")
@@ -654,6 +657,7 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
             getattr(cfg, "evb_first_solvation_cutoff", 5.0)),
         evb_reactive_pair_distance=float(
             getattr(cfg, "evb_reactive_pair_distance", 2.5)),
+        evb_small_states=int(getattr(cfg, "evb_small_states", -1)),
         ms_evb=bool(cfg.ms_evb_simulation),
         has_sapt=bool((vdw_type == 1).any()),
         eigensolver=str(getattr(cfg, "eigensolver", "eigh")),

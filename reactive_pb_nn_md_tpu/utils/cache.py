@@ -1,0 +1,61 @@
+"""Persistent XLA compile cache -- TPU processes only, keyed by machine.
+
+Two observed failure modes of jax 0.9's persistent cache with XLA:CPU
+AOT executables, both ending in SIGSEGV on *load*:
+
+  1. cross-machine: entries embed the build host's CPU feature set
+     (+prefer-no-scatter etc.); a different worker machine type emits
+     cpu_aot_loader feature-mismatch errors and can SIGILL/SIGSEGV
+     (observed: pytest segfaulted loading same-day artifacts written by
+     a different machine).
+  2. cross-process on the SAME machine: deserializing an entry written
+     by another process segfaulted deterministically inside
+     compilation_cache.get_executable_and_time (custom-call pointers in
+     the AOT result do not survive the process boundary).
+
+TPU (PJRT-plugin) executables have deserialized cleanly across many
+processes here, and those are the expensive compiles (minutes over the
+tunnel) -- so the cache is enabled ONLY when the process is not
+CPU-targeted, under a machine-fingerprinted directory.
+"""
+
+import hashlib
+import os
+
+
+def machine_fingerprint() -> str:
+    """Short hash of the CPU model + feature flags (stable per machine
+    type, changes when the worker lands on different silicon)."""
+    try:
+        lines = []
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                k = line.split(":")[0].strip()
+                if k in ("model name", "flags"):
+                    lines.append(line.strip())
+                if len(lines) >= 2:
+                    break
+        blob = "\n".join(lines).encode()
+    except OSError:
+        import platform
+        blob = (platform.machine() + platform.processor()).encode()
+    return hashlib.sha256(blob).hexdigest()[:10]
+
+
+def enable_compile_cache():
+    """Point jax's persistent compilation cache at the machine-keyed dir.
+    No-op (returns None) in CPU-targeted processes -- see module
+    docstring.  Call AFTER any jax.config.update("jax_platforms", ...)."""
+    import jax
+    plat = (jax.config.jax_platforms or "").split(",")[0]
+    if plat == "cpu":
+        return None
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    d = os.path.join(base, f"mf-{machine_fingerprint()}")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+    return d

@@ -14,3 +14,9 @@ import jax  # noqa: E402
 # runs, freezing the env-var default -- set the config explicitly too
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# NOTE: the persistent compile cache is deliberately NOT enabled for the
+# (CPU) test suite: deserializing XLA:CPU AOT executables across
+# processes/machines SIGSEGVs (two reproduced crashes; see
+# reactive_pb_nn_md_tpu/utils/cache.py).  Suite wall time is managed by
+# keeping individual tests lean instead.

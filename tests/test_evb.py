@@ -326,3 +326,43 @@ def test_enumeration_cutoffs_are_runtime_keys(tmp_path_factory):
         tmp, msevb="yes", extra="evb_reactive_pair_distance  9.0\n")
     with pytest.raises(ValueError, match="real_space_cutoff"):
         read_sim_params(sim_p)
+
+
+def test_two_tier_state_evaluation(tmp_path_factory):
+    """The two-tier lax.cond evaluation (hamiltonian.small_state_tier) is
+    exact: with the small tier big enough (small branch taken) AND with it
+    forced tiny (escalation branch taken), energy/forces/eigenvector match
+    the monolithic single-cap pipeline."""
+    system, topo, x, box, pairs, cbw = _setup(
+        tmp_path_factory, extra="evb_max_states   32\n")
+    ref, _ = ham.adiabatic_energy_force(
+        x, box, topo, system.replace(evb_small_states=0), pairs, cbw)
+    n = int(ref.n_states)
+    assert 2 < n < 32
+
+    for s1, label in [(n + 2, "small branch"), (2, "escalation branch")]:
+        sys_t = system.replace(evb_small_states=s1)
+        assert ham.small_state_tier(sys_t) == s1
+        res, batch = ham.adiabatic_energy_force(x, box, topo, sys_t,
+                                                pairs, cbw)
+        assert int(res.n_states) == n, label
+        assert not bool(res.overflow), label
+        np.testing.assert_allclose(float(res.energy), float(ref.energy),
+                                   rtol=1e-12, err_msg=label)
+        np.testing.assert_allclose(np.asarray(res.force),
+                                   np.asarray(ref.force),
+                                   atol=1e-9, err_msg=label)
+        np.testing.assert_allclose(np.asarray(res.eigenvector[:n]),
+                                   np.asarray(ref.eigenvector[:n]),
+                                   atol=1e-9, err_msg=label)
+        # the integrator's post-hop topology gather must see live rows
+        t_p = jax.tree_util.tree_map(lambda a: a[int(res.principle)],
+                                     batch.topo)
+        assert int(t_p.hydronium_mol) == int(res.new_hydronium), label
+
+    # auto tier is backend-gated: off on CPU (this test runs on CPU), 48
+    # at cap >= 64 on accelerators; explicit values are honored anywhere
+    assert ham.small_state_tier(system.replace(evb_max_states=80)) == 0
+    assert ham.small_state_tier(system) == 0  # S=32 < 64: auto off
+    assert ham.small_state_tier(
+        system.replace(evb_max_states=80, evb_small_states=40)) == 40

@@ -46,31 +46,38 @@ CPU_STEPS = 3
 PINNED_CPU_S80_EQ = 1.456    # equilibrated liquid, S=80 two-tier
 PINNED_CPU_S32 = 1.857       # lattice-ish S=32 window
 
-EQ_STATE = pathlib.Path(__file__).parent / "benchdata" / \
-    "eq_flagship_s80.npz"
+BENCHDATA = pathlib.Path(__file__).parent / "benchdata"
+EQ_STATE = BENCHDATA / "eq_flagship_s80.npz"
 
 
-def _build_flagship(precision, evb_max_states, equilibrated):
+def load_equilibrated(ms, system, cbw, path):
+    """Replace (state, topo) with saved equilibrated leaves (produced by
+    scripts/equilibrate.py) and rebuild the neighbor state."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import __graft_entry__ as g
     from reactive_pb_nn_md_tpu.md import integrators
+
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten((ms.state, ms.topo))
+    new = [jnp.asarray(np.asarray(data[f"l{i}"]).astype(
+               np.asarray(l).dtype))
+           for i, l in enumerate(leaves)]
+    state, topo = jax.tree_util.tree_unflatten(treedef, new)
+    return integrators.initial_md_state(
+        state, topo, system, cbw, ms.nlist.capacity,
+        cells=ms.nlist.cells or None,
+        react_cap=ms.nlist.react_cap or None)
+
+
+def _build_flagship(precision, evb_max_states, equilibrated):
+    import __graft_entry__ as g
 
     system, cbw, cfg, ms = g._build(n_water=N_WATER, pme_grid=PME_GRID,
                                     precision=precision,
                                     evb_max_states=evb_max_states)
     if equilibrated:
-        data = np.load(EQ_STATE)
-        leaves, treedef = jax.tree_util.tree_flatten((ms.state, ms.topo))
-        new = [jnp.asarray(np.asarray(data[f"l{i}"]).astype(
-                   np.asarray(l).dtype))
-               for i, l in enumerate(leaves)]
-        state, topo = jax.tree_util.tree_unflatten(treedef, new)
-        ms = integrators.initial_md_state(
-            state, topo, system, cbw, ms.nlist.capacity,
-            cells=ms.nlist.cells or None,
-            react_cap=ms.nlist.react_cap or None)
+        ms = load_equilibrated(ms, system, cbw, EQ_STATE)
     return system, cbw, cfg, ms
 
 
@@ -181,6 +188,39 @@ def run_bench_10k(n_steps=128, warmup=8):
     return done / dt
 
 
+def run_bench_acid(n_steps=256):
+    """BASELINE config 1: the named CH3SO3H/H2O system (upstream force
+    field, 1 acid + 215 waters, 651 atoms), equilibrated, cap 80."""
+    import numpy as np
+    import __graft_entry__ as g
+    g._enable_compile_cache()
+    from reactive_pb_nn_md_tpu.run import presets
+    from reactive_pb_nn_md_tpu.md import integrators
+
+    system, cbw, cfg, ms = presets.build_acid_system(
+        n_water=N_WATER, pme_grid=PME_GRID, evb_max_states=EVB_MAX_STATES)
+    ms = load_equilibrated(ms, system, cbw, BENCHDATA / "eq_acid_s80.npz")
+    chunk = min(n_steps, 128)
+
+    def scan(ms):
+        return integrators.md_scan(ms, system, cbw, cfg.delta_t, "NVE",
+                                   chunk)
+
+    ms, diag = scan(ms)
+    float(diag.potential[-1])
+    t0 = time.perf_counter()
+    done = 0
+    hops = 0
+    while done < n_steps:
+        ms, diag = scan(ms)
+        done += chunk
+        hops += int(np.asarray(diag.hopped).sum())
+    dt = time.perf_counter() - t0
+    assert not bool(np.asarray(diag.evb_overflow).any()), "acid overflow"
+    assert not bool(np.asarray(diag.nbr_overflow).any())
+    return done / dt, hops
+
+
 def run_bench_replicas(n_replicas, n_steps=120, warmup_chunks=1):
     """Single-chip vmapped replica ensemble (BASELINE config 5: umbrella
     windows / temperature ladders; the reference's OpenMP replacement).
@@ -265,6 +305,14 @@ def main():
             extra["s32_vs_pinned"] = round(rate32 / PINNED_CPU_S32, 2)
         except Exception as e:  # noqa: BLE001
             print(f"# s32 config failed: {e}", file=sys.stderr)
+
+    if "--skip-acid" not in sys.argv:
+        try:
+            acid_rate, acid_hops = run_bench_acid()
+            extra["acid_steps_per_s"] = round(acid_rate, 2)
+            extra["acid_hops_in_window"] = acid_hops
+        except Exception as e:  # noqa: BLE001
+            print(f"# acid config failed: {e}", file=sys.stderr)
 
     if "--skip-10k" not in sys.argv:
         try:

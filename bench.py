@@ -52,22 +52,40 @@ EQ_STATE = BENCHDATA / "eq_flagship_s80.npz"
 
 def load_equilibrated(ms, system, cbw, path):
     """Replace (state, topo) with saved equilibrated leaves (produced by
-    scripts/equilibrate.py) and rebuild the neighbor state."""
+    scripts/equilibrate.py) and rebuild the neighbor state.  Returns
+    (ms, system): saved capacity metadata overrides the fresh build's
+    density estimates (equilibration may have regrown them -- e.g. the
+    concentrated-acid box electrostricts past the water heuristics)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from reactive_pb_nn_md_tpu.md import integrators
 
     data = np.load(path)
+    n_leaves = len([k for k in data.files if k.startswith("l")])
     leaves, treedef = jax.tree_util.tree_flatten((ms.state, ms.topo))
+    assert len(leaves) == n_leaves, (len(leaves), n_leaves)
     new = [jnp.asarray(np.asarray(data[f"l{i}"]).astype(
                np.asarray(l).dtype))
            for i, l in enumerate(leaves)]
     state, topo = jax.tree_util.tree_unflatten(treedef, new)
-    return integrators.initial_md_state(
-        state, topo, system, cbw, ms.nlist.capacity,
-        cells=ms.nlist.cells or None,
-        react_cap=ms.nlist.react_cap or None)
+    capacity = ms.nlist.capacity
+    cells = ms.nlist.cells or None
+    react_cap = ms.nlist.react_cap or None
+    react_cells = None
+    if "meta_capacity" in data.files:
+        capacity = int(data["meta_capacity"])
+        cells = tuple(int(v) for v in data["meta_cells"]) or None
+        react_cap = int(data["meta_react_cap"]) or None
+        react_cells = tuple(int(v) for v in data["meta_react_cells"]) \
+            or None
+        rs = tuple(int(v) for v in data["meta_rs_cells"])
+        system = system.replace(rs_cells=rs,
+                                pme_scap=int(data["meta_pme_scap"]))
+    ms = integrators.initial_md_state(
+        state, topo, system, cbw, capacity, cells=cells,
+        react_cap=react_cap, react_cells=react_cells)
+    return ms, system
 
 
 def _build_flagship(precision, evb_max_states, equilibrated):
@@ -77,7 +95,7 @@ def _build_flagship(precision, evb_max_states, equilibrated):
                                     precision=precision,
                                     evb_max_states=evb_max_states)
     if equilibrated:
-        ms = load_equilibrated(ms, system, cbw, EQ_STATE)
+        ms, system = load_equilibrated(ms, system, cbw, EQ_STATE)
     return system, cbw, cfg, ms
 
 
@@ -199,7 +217,8 @@ def run_bench_acid(n_steps=256):
 
     system, cbw, cfg, ms = presets.build_acid_system(
         n_water=N_WATER, pme_grid=PME_GRID, evb_max_states=EVB_MAX_STATES)
-    ms = load_equilibrated(ms, system, cbw, BENCHDATA / "eq_acid_s80.npz")
+    ms, system = load_equilibrated(ms, system, cbw,
+                                   BENCHDATA / "eq_acid_s80.npz")
     chunk = min(n_steps, 128)
 
     def scan(ms):

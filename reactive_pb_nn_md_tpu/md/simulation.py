@@ -194,11 +194,15 @@ class Simulation:
                 # flag is shared; growing both is harmless)
                 n1, n2, n3, rcap = self.system.rs_cells
                 self.system = self.system.replace(
-                    rs_cells=(n1, n2, n3, rcap + 8))
+                    rs_cells=(n1, n2, n3, -(-int(rcap * 1.3 + 8) // 8) * 8))
             if self.system.pme_scap:
-                # and the PME slab-spread capacity (same shared flag)
+                # and the PME slab-spread capacity (same shared flag).
+                # Multiplicative growth: a melting lattice transiently
+                # concentrates whole planes into single slabs (measured
+                # ~2.7x the equilibrated mean on the 10k box), and +16
+                # per round chased that for many recompiles
                 self.system = self.system.replace(
-                    pme_scap=self.system.pme_scap + 16)
+                    pme_scap=-(-int(self.system.pme_scap * 1.3 + 16) // 8) * 8)
             self.ms = integrators.initial_md_state(
                 self.ms.state, self.ms.topo, self.system, self.cbw,
                 self.capacity, self.cells, react_cap=self.react_cap,
@@ -241,16 +245,22 @@ class Simulation:
         types = np.asarray(topo.atom_type)
         return [self.system.ff.atype_names[t] for t in types]
 
+    def _atom_order(self, topo):
+        """Atoms in molecule-slot order (reference writes molecule
+        blocks).  One masked ravel of the (M, A) table -- row-major
+        already is molecule-major, slot-ascending; the former
+        per-molecule Python loop was O(M) per output step and visible at
+        10^4 atoms with frequent output."""
+        ma = np.asarray(topo.mol_atoms).ravel()
+        return ma[ma >= 0]
+
     def _write_frame(self, step):
         topo = self.ms.topo
         names, natom = self._mol_names_natom(topo)
-        # emit atoms in molecule-slot order (reference writes molecule blocks)
-        order = np.concatenate([
-            [a for a in np.asarray(topo.mol_atoms[m]) if a >= 0]
-            for m in range(self.system.n_mole)]).astype(int)
+        order = self._atom_order(topo)
         x = np.asarray(self.ms.state.x)[order]
-        anames = [self.system.ff.atype_names[int(t)]
-                  for t in np.asarray(topo.atom_type)[order]]
+        anames = np.asarray(self.system.ff.atype_names)[
+            np.asarray(topo.atom_type)[order]].tolist()
         self.traj_f.write(format_gro_frame(
             f"step {step}", names, natom, anames, x,
             np.asarray(self.ms.state.box)))
@@ -324,7 +334,12 @@ class Simulation:
     def _write_a_file(self, step):
         """debug=2 A-file stream: Zundel geometry + geometric factor A of
         every non-principle diabat (write_geometry, ms_evb.f90:3828-3848;
-        call site :1079-1081)."""
+        call site :1079-1081).
+
+        This re-enumerates the diabat set ON HOST, outside the jitted
+        step -- acceptable for a debug stream, and guaranteed never to
+        run in production: the only call site is gated on debug >= 2
+        (see _log_step above)."""
         from ..evb import analysis
         from ..evb.enumerate import enumerate_diabats
         from ..evb.topology_ops import build_diabat_topologies
@@ -368,12 +383,10 @@ class Simulation:
         # print_velocities_checkpoint) -- atoms in molecule-slot order to
         # match the trajectory frames
         names, natom = self._mol_names_natom(topo)
-        order = np.concatenate([
-            [a for a in np.asarray(topo.mol_atoms[m]) if a >= 0]
-            for m in range(self.system.n_mole)]).astype(int)
+        order = self._atom_order(topo)
         v = np.asarray(self.ms.state.v)[order]
-        anames = [self.system.ff.atype_names[int(t)]
-                  for t in np.asarray(topo.atom_type)[order]]
+        anames = np.asarray(self.system.ff.atype_names)[
+            np.asarray(topo.atom_type)[order]].tolist()
         with open(self.text_chk, "a") as fh:
             fh.write(format_velocity_checkpoint(step, names, natom,
                                                 anames, v))

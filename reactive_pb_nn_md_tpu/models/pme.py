@@ -247,24 +247,36 @@ def recip_delta_perstate(x_u, u_mask, dq, box, K, order, cbw, F0):
         # fused Pallas path: the (S, K, K, Kh) spectrum never leaves VMEM
         # (ops/pallas/recip_perstate.py); bit-compatible contraction class
         # (bf16x3 = HIGH) with the XLA formulation below
-        from ..ops.pallas.recip_perstate import perstate_recip_energy
+        from ..ops.pallas.recip_perstate import (perstate_recip_energy,
+                                                 MAX_BLOCK_ELEMS, _blk)
         Mh = K * Kh
         Mp = -(-Mh // 128) * 128
-        S8 = -(-S // 8) * 8
         f = dq.dtype
 
         def padl(a, w):                       # zero-pad last dim to w
             return jnp.pad(a, [(0, 0)] * (a.ndim - 1)
                            + [(0, w - a.shape[-1])])
 
-        dq_p = jnp.pad(dqm, ((0, S8 - S), (0, 0)))
-        e = perstate_recip_energy(
-            dq_p, A.real.T, A.imag.T,
-            padl(BC.real, Mp), padl(BC.imag, Mp),
-            padl(F0.real.reshape(K, Mh), Mp),
-            padl(F0.imag.reshape(K, Mh), Mp),
-            padl(cbw.astype(f).reshape(K, Mh), Mp))
-        return CONV_E2A_KJMOL * e[:S]
+        args = (A.real.T, A.imag.T,
+                padl(BC.real, Mp), padl(BC.imag, Mp),
+                padl(F0.real.reshape(K, Mh), Mp),
+                padl(F0.imag.reshape(K, Mh), Mp),
+                padl(cbw.astype(f).reshape(K, Mh), Mp))
+        # state-axis chunking keeps the kernel's live (blk*Sc, Mp)
+        # spectrum blocks inside scoped VMEM at large caps (S=80, K=64
+        # OOMed at one chunk); each chunk is an independent custom-vjp
+        # kernel call, so autodiff composes through the concatenate
+        Sc = max(8, min(128, MAX_BLOCK_ELEMS // (_blk(K, S, Mp) * Mp)
+                        // 8 * 8))
+        parts = []
+        for s0 in range(0, S, Sc):
+            chunk = dqm[s0:s0 + Sc]
+            n = chunk.shape[0]
+            n8 = -(-n // 8) * 8
+            chunk = jnp.pad(chunk, ((0, n8 - n), (0, 0)))
+            parts.append(perstate_recip_energy(chunk, *args)[:n])
+        e = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return CONV_E2A_KJMOL * e
     # XLA path (CPU / fp64): one (S*K, U) x (U, K*Kh) complex matmul ->
     # G (S, K, K, Kh).  bf16x3 passes (~21-bit mantissa) instead of the
     # global f32 (x6) pin: the value operands keep ~fp32 accuracy

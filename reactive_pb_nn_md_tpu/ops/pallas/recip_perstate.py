@@ -62,13 +62,18 @@ def _dot3(a, b, dims=(((1,), (0,)), ((), ()))):
     return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
-def _blk(K):
-    """m1 rows per program: largest power of two <= 8 dividing K (row
-    blocking keeps the matmul M dimension at blk*S >= 128)."""
-    for b in (8, 4, 2, 1):
-        if K % b == 0:
-            return b
-    return 1
+def _blk(K, S, Mp):
+    """m1 rows per program: 8 (the TPU sublane quantum -- smaller (blk,
+    Mp) input blocks violate Mosaic's 8-sublane block rule) or K itself
+    for tiny grids.  VMEM is bounded instead by chunking the STATE axis
+    at the caller (models/pme.recip_delta_perstate): the live (blk*S,
+    Mp) gr/gi blocks dominate scoped VMEM, and blk*S*Mp <= 8*32*2176 is
+    the measured-good envelope (S=80, K=64 at one chunk exceeded the
+    16 MB scoped-vmem limit by 5.3 MB at compile time)."""
+    return 8 if K % 8 == 0 else K
+
+
+MAX_BLOCK_ELEMS = 8 * 32 * 2176   # the known-good blk*S*Mp envelope
 
 
 def _g_block(w, bcr, bci, S, blk):
@@ -227,7 +232,7 @@ def _fwd(dq, ar, ai, bcr, bci, f0r, f0i, cbw):
     S, U = dq.shape
     K, Mp = f0r.shape
     f = dq.dtype
-    blk = _blk(K)
+    blk = _blk(K, S, Mp)
     g = K // blk
     w = _pack_w(dq, ar, ai, blk, K)
 
@@ -260,7 +265,7 @@ def _bwd(res, gbar):
     S, U = dq.shape
     K, Mp = f0r.shape
     f = dq.dtype
-    blk = _blk(K)
+    blk = _blk(K, S, Mp)
     g = K // blk
     gb = gbar.astype(f)[:, None]                           # (S, 1)
 

@@ -47,8 +47,13 @@ def so3h_geometry():
     o1 = sdir(110, 90, 1.45)
     o2 = sdir(110, 210, 1.45)
     oh = sdir(110, 330, 1.62)
-    d = np.array([0.3, -0.5, 0.81])
-    h = oh + 0.97 * d / np.linalg.norm(d)
+    # proton along the S->O(H) direction, tilted ~30 deg off-axis: keeps
+    # S..H at ~2.4 A (a fixed lab-frame direction previously landed the
+    # H 0.87 A from S -- inside the sulfur, a catastrophic start)
+    u = (oh - s) / np.linalg.norm(oh - s)
+    perp = np.cross(u, np.array([0.0, 0.0, 1.0]))
+    perp /= np.linalg.norm(perp)
+    h = oh + 0.97 * (0.87 * u + 0.5 * perp)
     return np.stack([c, s, o1, o2, oh, h])
 
 

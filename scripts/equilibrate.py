@@ -54,32 +54,74 @@ def main():
     chunk = 40
     t0 = time.time()
 
+    def regrow(ms_prev, factor=1.4):
+        """Driver-style neighbor regrow + replay: the overflow flag is
+        shared by the half list, full/react adjacencies, cell buckets,
+        the fused pair kernel's cell capacity and the PME slab capacity
+        (md/simulation._retry_capacity_if_overflow) -- grow them ALL and
+        rebuild from the pre-chunk state (an overflowed chunk ran with a
+        truncated list; discard it)."""
+        nonlocal system
+        nl = ms_prev.nlist
+        new_cap = int(nl.capacity * factor) + 8
+        new_rcap = (int(nl.react_cap * factor) + 8) if nl.react_cap else None
+        cells = nl.cells or None
+        if cells:
+            n1, n2, n3, ccap = cells
+            cells = (n1, n2, n3, int(ccap * 1.5) + 4)
+        react_cells = getattr(nl, "react_cells", None) or None
+        if react_cells:
+            rn1, rn2, rn3, rcc = react_cells
+            react_cells = (rn1, rn2, rn3, int(rcc * 1.5) + 4)
+        if system.rs_cells:
+            n1, n2, n3, rcap = system.rs_cells
+            system = system.replace(
+                rs_cells=(n1, n2, n3, -(-int(rcap * 1.3 + 8) // 8) * 8))
+        if system.pme_scap:
+            # multiplicative: lattice melts concentrate planes into slabs
+            system = system.replace(
+                pme_scap=-(-int(system.pme_scap * 1.3 + 16) // 8) * 8)
+        print(f"# neighbor regrow: capacity {nl.capacity} -> {new_cap}, "
+              f"cells {nl.cells} -> {cells}, rs_cells {system.rs_cells}, "
+              f"scap {system.pme_scap}", flush=True)
+        return integrators.initial_md_state(
+            ms_prev.state, ms_prev.topo, system, cbw, new_cap,
+            cells=cells, react_cap=new_rcap, react_cells=react_cells)
+
     # quench phase: lattice starts can have contacts past the 1e4
     # force-abort threshold (tight acid neighborhoods, compressed water
-    # sites).  Staged small-dt NVE with velocities re-zeroed per chunk is
-    # a damped relaxation; dt is a traced scalar so no recompile.
-    zeros = ms.state.v * 0.0
-    for div in (40, 20, 10, 5):
-        for q in range(8):
+    # sites).  Staged small-dt NVE with velocities REDRAWN at 50 K per
+    # chunk dissipates the contact energy while keeping thermal pressure
+    # (a zero-velocity quench cold-collapsed the charged acid5k box into
+    # clusters: neighbor capacity regrew 91 -> 404 and climbing); dt is a
+    # traced scalar so no recompile.
+    for qi, div in enumerate((40, 20, 10, 5)):
+        q = 0
+        while q < 8:
+            prev = ms
             ms, diag = integrators.md_scan(
                 ms, system, cbw, cfg.delta_t / div, "NVE", chunk)
-            ms = ms.replace(state=ms.state.replace(v=zeros))
             if np.asarray(diag.nbr_overflow).any():
-                raise SystemExit(f"quench neighbor overflow at dt/{div}")
+                ms = regrow(prev)
+                continue
+            ms = ms.replace(state=ms.state.replace(
+                v=vel.sample_velocities(jax.random.PRNGKey(100 + 8 * qi + q),
+                                        system.mass, 50.0, mobile)))
+            q += 1
     print(f"# quenched {4 * 8 * chunk} staged-dt steps, "
           f"{time.time()-t0:.0f} s", flush=True)
-    ms = ms.replace(state=ms.state.replace(
-        v=vel.sample_velocities(jax.random.PRNGKey(1), system.mass, 50.0,
-                                mobile)))
 
     done = 0
     while done < equil_steps:
+        prev = ms
         ms, diag = integrators.md_scan(ms, system, cbw, cfg.delta_t,
                                        "NVE", chunk)
         done += chunk
         heating = done < equil_steps // 2
         if np.asarray(diag.nbr_overflow).any():
-            raise SystemExit(f"equilibration neighbor overflow at {done}")
+            ms = regrow(prev)
+            done -= chunk
+            continue
         if np.asarray(diag.force_overflow).any():
             f = np.asarray(ms.force)
             fmag = np.linalg.norm(f, axis=1)
@@ -112,20 +154,50 @@ def main():
                   f"n_states max {int(np.asarray(diag.n_states).max())}",
                   flush=True)
 
-    # validation window: plain NVE, every flag fatal -- the state is only
-    # saved if it runs clean (this is what the bench will assert too)
-    for _ in range(10):
+    # re-tighten capacities to the fresh density estimates: the melt
+    # phase may have regrown them to transient-lattice sizes (padded
+    # capacity is paid on every production step), and the equilibrated
+    # liquid usually fits the original suggestions.  The validation
+    # window below regrows again if it does not.
+    fresh_system, _, _, fresh_ms = build(config)
+    system = fresh_system
+    ms = integrators.initial_md_state(
+        ms.state, ms.topo, system, cbw, fresh_ms.nlist.capacity,
+        cells=fresh_ms.nlist.cells or None,
+        react_cap=fresh_ms.nlist.react_cap or None,
+        react_cells=fresh_ms.nlist.react_cells or None)
+
+    # validation window: plain NVE with regrow-and-replay; any
+    # non-capacity flag is fatal and the state is only saved if the
+    # final pass runs clean (this is what the bench will assert too)
+    clean = 0
+    while clean < 10:
+        prev = ms
         ms, diag = integrators.md_scan(ms, system, cbw, cfg.delta_t,
                                        "NVE", chunk)
-        bad = [n for n in ("nbr_overflow", "force_overflow",
-                           "evb_overflow")
+        if np.asarray(diag.nbr_overflow).any():
+            ms = regrow(prev)
+            clean = 0
+            continue
+        bad = [n for n in ("force_overflow", "evb_overflow")
                if np.asarray(getattr(diag, n)).any()]
         if bad or not np.isfinite(float(np.asarray(diag.potential)[-1])):
             raise SystemExit(f"validation window failed: {bad}")
+        clean += 1
     print(f"# validation window clean (400 steps, no flags)", flush=True)
 
     leaves = jax.tree_util.tree_leaves((ms.state, ms.topo))
-    np.savez(out, **{f"l{i}": np.asarray(v) for i, v in enumerate(leaves)})
+    payload = {f"l{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    # persist the (possibly regrown) static capacities so loaders rebuild
+    # the neighbor state at sizes that actually hold this configuration
+    nl = ms.nlist
+    payload["meta_capacity"] = np.asarray(nl.capacity)
+    payload["meta_cells"] = np.asarray(nl.cells or (), np.int64)
+    payload["meta_react_cap"] = np.asarray(nl.react_cap or 0)
+    payload["meta_react_cells"] = np.asarray(nl.react_cells or (), np.int64)
+    payload["meta_rs_cells"] = np.asarray(system.rs_cells or (), np.int64)
+    payload["meta_pme_scap"] = np.asarray(system.pme_scap)
+    np.savez(out, **payload)
     print(f"# saved {config} after {done} steps -> {out}")
 
 

@@ -293,3 +293,79 @@ def test_acid_to_water_hop_dynamics(tmp_path):
         assert np.isfinite(float(getattr(sim.ms.breakdown, name))), name
     # the box's single excess-proton constraint is preserved through hops
     assert int(sim.ms.topo.hydronium_mol) >= 0
+
+
+def test_mixed_conjugate_pairs_enumeration_and_deltas(tmp_path):
+    """Concentrated-acid machinery (BASELINE config 3): a mixed box with
+    1 so3h + 2 so3- anions + waters must enumerate hop candidates from
+    BOTH conjugate pairs (so3h/so3 and h3o/h2o) simultaneously --
+    acid->water chains and acid->so3- re-protonation -- and the
+    field-decomposed diagonal deltas must equal the full per-diabat
+    recompute on the resulting mixed-template state set."""
+    import jax.numpy as jnp
+    from reactive_pb_nn_md_tpu.run.presets import make_acid_frame
+    from reactive_pb_nn_md_tpu.evb.topology_ops import \
+        build_diabat_topologies
+
+    frame = make_acid_frame(n_water=12, n_so3=2, seed=4)
+    xyz = np.array(frame.xyz)
+    # acid = molecule 0 (atoms 0-5, H_a = 5)
+    h = 5
+    # one water O at 2.2 A and one so3- O_b at 2.3 A from the proton:
+    # level-1 candidates from both conjugate pairs
+    w_m = next(m for m, n in enumerate(frame.mol_names) if n == "h2o")
+    s_m = next(m for m, n in enumerate(frame.mol_names) if n == "so3")
+    u1 = np.array([1.0, 0.2, 0.1]); u1 /= np.linalg.norm(u1)
+    u2 = np.array([-0.3, 1.0, 0.2]); u2 /= np.linalg.norm(u2)
+    wf = int(frame.mol_first_atom[w_m])
+    xyz[wf:wf + 3] += (xyz[h] + 2.2 * u1) - xyz[wf]
+    sf = int(frame.mol_first_atom[s_m])
+    xyz[sf:sf + 5] += (xyz[h] + 2.3 * u2) - xyz[sf + 2]   # O_b slot 2
+    frame = GroFrame(title=frame.title, mol_names=frame.mol_names,
+                     mol_first_atom=frame.mol_first_atom,
+                     mol_natom=frame.mol_natom,
+                     atom_names=frame.atom_names, xyz=xyz, box=frame.box)
+
+    sim_p = tmp_path / "sim.pmt"
+    sim_p.write_text(SIM_PMT.replace("pme_grid           32",
+                                     "pme_grid           24")
+                     + "evb_max_states 24\n")
+    cfg = read_sim_params(str(sim_p))
+    system, topo = build_system(
+        frame, read_ffpmt(os.path.join(REF_DIR, "CH3SO3H.pmt")),
+        read_top(os.path.join(REF_DIR, "CH3SO3H_H2O.top")), cfg)
+    x = jnp.asarray(frame.xyz)
+    box = jnp.asarray(frame.box)
+    cap = neighbors.suggest_capacity(system.n_atoms,
+                                     float(np.prod(np.diag(frame.box))),
+                                     system.verlet_cutoff)
+    nlist = neighbors.build_neighbor_list(x, box, system.verlet_cutoff,
+                                          cap)
+    pairs = neighbors.neighbor_pairs(nlist)
+    cbw = pme.cb_half(box, system.pme_grid, system.spline_order,
+                      system.alpha_sqrt, dtype=x.dtype)
+
+    dset = enumerate_diabats(x, box, topo, system)
+    n = int(dset.n_states)
+    assert n >= 3
+    # level-1 acceptors include BOTH a water and an so3- anion
+    acc1 = {int(np.asarray(dset.hop_log)[s, 0, 3])
+            for s in range(1, n) if int(dset.n_hops[s]) == 1}
+    assert w_m in acc1, "water acceptor missing"
+    assert s_m in acc1, "so3- acceptor missing (re-protonation pair)"
+    # a 2-hop acid->water->water chain exists
+    chains2 = [np.asarray(dset.hop_log)[s]
+               for s in range(1, n) if int(dset.n_hops[s]) == 2]
+    assert any(int(c[0, 3]) == w_m for c in chains2), \
+        "no acid->water->X chain"
+
+    batch = build_diabat_topologies(topo, dset, system)
+    diag_full, _, recip_full = ham.diabat_diagonal_energies_full(
+        x, box, batch, system, pairs, cbw, topo.charge)
+    diag_delta, _, recip_delta, _ = ham.diabat_diagonal_energies(
+        x, box, batch, system, pairs, cbw, topo.charge, topo,
+        nlist.full_idx)
+    np.testing.assert_allclose(np.asarray(recip_delta),
+                               np.asarray(recip_full), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(diag_delta)[:n],
+                               np.asarray(diag_full)[:n], rtol=1e-10)

@@ -129,12 +129,60 @@ def test_nn_coupling_learns_analytic_surface(tmp_path):
     # pretraining must recover most of the analytic coupling's effect
     assert rmse_pre < 0.25 * rmse_raw, (rmse_pre, rmse_raw)
 
-    # force-matching finetune: d(force)/d(params) through the full engine
-    # (second derivative of the reactive pipeline); both the energy and
-    # the force residual must descend (or sit at the floor)
-    nn, r0, r1, f0, f1 = nt.finetune_adiabatic(
-        nn, sys_nn, topo, box, cbw, xs, fidx, pj, pm, e_ref, steps=5,
-        f_ref=f_ref)
-    assert np.isfinite(r1) and np.isfinite(f1)
+    nn, r0, r1 = nt.finetune_adiabatic(
+        nn, sys_nn, topo, box, cbw, xs, fidx, pj, pm, e_ref, steps=5)
+    assert np.isfinite(r1)
     assert r1 <= r0 * 1.01, (r0, r1)  # descends (or is at the floor)
-    assert f1 <= f0 * 1.01, (f0, f1)
+
+
+def test_force_matching_descends(tmp_path):
+    """PB-NN force matching (VERDICT r2 item 6): finetuning on the
+    force-residual objective differentiates d(force)/d(params) THROUGH
+    the engine -- a second derivative of the whole reactive pipeline --
+    and the force RMSE must descend.  Tiny box: the double-grad compile
+    dominates wall time (26 waters took ~14 min on this 1-core worker;
+    measured descent there was 1.063 -> 0.886 kJ/mol/A over 10 steps)."""
+    from reactive_pb_nn_md_tpu.nn import train as nt
+
+    ff_p, top_p, sim_p = write_fixture_files(tmp_path, msevb="yes",
+                                             pme_grid=12,
+                                             extra="evb_max_states 8\n")
+    cfg = read_sim_params(sim_p)
+    frame = make_water_box(8, include_h3o=True, seed=9)
+    system, topo = build_system(frame, read_ffpmt(ff_p), read_top(top_p),
+                                cfg)
+    names = system.ff.atype_names
+    triple = (names.index("OW"), names.index("O_h3o"),
+              names.index("H_h3o"))
+    row = jnp.asarray(system.evb.cpl_params[triple])
+
+    x0 = jnp.asarray(frame.xyz)
+    box = jnp.asarray(frame.box)
+    cap = neighbors.suggest_capacity(
+        system.n_atoms, float(np.prod(np.diag(frame.box))),
+        system.verlet_cutoff)
+    rng = np.random.default_rng(3)
+    xs, fidx, pj, pm = [], [], [], []
+    for _ in range(2):
+        xf = x0 + jnp.asarray(rng.normal(0.0, 0.05, x0.shape))
+        nl = neighbors.build_neighbor_list(xf, box, system.verlet_cutoff,
+                                           cap)
+        _, j, m = neighbors.neighbor_pairs(nl)
+        xs.append(xf); fidx.append(nl.full_idx); pj.append(j); pm.append(m)
+    xs, fidx = jnp.stack(xs), jnp.stack(fidx)
+    pj, pm = jnp.stack(pj), jnp.stack(pm)
+    cbw = pme.cb_half(box, system.pme_grid, system.spline_order,
+                      system.alpha_sqrt, dtype=x0.dtype)
+
+    e_ref, f_ref = nt.make_frame_energy_force_fn(system, topo, box, cbw)(
+        None, xs, fidx, pj, pm)
+    sys_nn = system.replace(evb=system.evb.replace(
+        cpl_func=system.evb.cpl_func.at[triple].set(3)))
+    nn, _ = nt.pretrain_geometric(row, jax.random.PRNGKey(1), steps=400)
+
+    nn, r0, r1, f0, f1 = nt.finetune_adiabatic(
+        nn, sys_nn, topo, box, cbw, xs, fidx, pj, pm, e_ref, steps=6,
+        lr=3e-4, force_weight=0.3, f_ref=f_ref)
+    assert np.isfinite(r1) and np.isfinite(f1)
+    assert f1 <= f0, (f0, f1)            # force RMSE descends
+    assert r1 <= r0 * 1.05, (r0, r1)     # energy does not regress

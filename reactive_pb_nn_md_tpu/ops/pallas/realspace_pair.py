@@ -130,7 +130,14 @@ def suggest_rs_cells(n_atoms, box, cutoff, safety=1.5, min_atoms=192):
     per_cell = n_atoms / (nc[0] * nc[1] * nc[2])
     cap = max(per_cell * safety, per_cell + 4.0 * np.sqrt(per_cell))
     ccap = int(-(-int(np.ceil(cap)) // 8) * 8)
-    return (nc[0], nc[1], nc[2], max(ccap, 8))
+    ccap = max(ccap, 8)
+    # scoped-VMEM ceiling: the kernel's resident component-major blocks
+    # scale with n_cells * ccap (measured: 22^3 cells x ccap 24 wanted
+    # 41.7 MB against the 16 MB scoped limit at ~164 B/unit).  Beyond the
+    # budget the XLA half-list path takes over (~10^5-atom boxes).
+    if nc[0] * nc[1] * nc[2] * ccap > 80_000:
+        return ()
+    return (nc[0], nc[1], nc[2], ccap)
 
 
 def _bin_atoms(x, box, cells):

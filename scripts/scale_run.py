@@ -31,6 +31,17 @@ def main():
     t0 = time.time()
     system, cbw, cfg, ms = g._build(n_water=n_water, pme_grid=pme_grid,
                                     precision="fp32", evb_max_states=32)
+    if "--no-rs-kernel" in sys.argv:
+        # at ~10^5 atoms the fused pair kernel's resident cell blocks
+        # exceed scoped VMEM (measured: 41.7M vs the 16M limit at 22^3
+        # cells); fall back to the XLA half-list path, which is
+        # capacity-bound in HBM instead
+        system = system.replace(rs_cells=())
+        ms = integrators.initial_md_state(ms.state, ms.topo, system, cbw,
+                                          ms.nlist.capacity,
+                                          cells=ms.nlist.cells or None,
+                                          react_cap=ms.nlist.react_cap
+                                          or None)
     print(f"build: {system.n_atoms} atoms, {system.n_mole} molecules, "
           f"PME {system.pme_grid}^3, rs_cells {system.rs_cells}, "
           f"pme_scap {system.pme_scap}, {time.time() - t0:.1f} s",

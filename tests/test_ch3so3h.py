@@ -315,12 +315,21 @@ def test_mixed_conjugate_pairs_enumeration_and_deltas(tmp_path):
     # level-1 candidates from both conjugate pairs
     w_m = next(m for m, n in enumerate(frame.mol_names) if n == "h2o")
     s_m = next(m for m, n in enumerate(frame.mol_names) if n == "so3")
-    u1 = np.array([1.0, 0.2, 0.1]); u1 /= np.linalg.norm(u1)
-    u2 = np.array([-0.3, 1.0, 0.2]); u2 /= np.linalg.norm(u2)
+    # bridge water 2.2 A beyond the acid proton (along O_ah->H, away
+    # from the acid body), and the so3- anion 2.3 A beyond one of the
+    # water's own protons: the direct acid->so3 hop is excluded by the
+    # 5 A COM-COM shell for two bulky molecules (the reference's own
+    # criterion, ms_evb.f90:733), so the anion is re-protonated as the
+    # SECOND hop of an acid->water->so3 chain
+    u1 = xyz[h] - xyz[4]
+    u1 /= np.linalg.norm(u1)
     wf = int(frame.mol_first_atom[w_m])
     xyz[wf:wf + 3] += (xyz[h] + 2.2 * u1) - xyz[wf]
+    hw1 = wf + 1
+    u2 = xyz[hw1] - xyz[wf]
+    u2 /= np.linalg.norm(u2)
     sf = int(frame.mol_first_atom[s_m])
-    xyz[sf:sf + 5] += (xyz[h] + 2.3 * u2) - xyz[sf + 2]   # O_b slot 2
+    xyz[sf:sf + 5] += (xyz[hw1] + 2.3 * u2) - xyz[sf + 2]   # O_b slot 2
     frame = GroFrame(title=frame.title, mol_names=frame.mol_names,
                      mol_first_atom=frame.mol_first_atom,
                      mol_natom=frame.mol_natom,
@@ -348,16 +357,16 @@ def test_mixed_conjugate_pairs_enumeration_and_deltas(tmp_path):
     dset = enumerate_diabats(x, box, topo, system)
     n = int(dset.n_states)
     assert n >= 3
-    # level-1 acceptors include BOTH a water and an so3- anion
+    # the bridge water is a level-1 acceptor
     acc1 = {int(np.asarray(dset.hop_log)[s, 0, 3])
             for s in range(1, n) if int(dset.n_hops[s]) == 1}
     assert w_m in acc1, "water acceptor missing"
-    assert s_m in acc1, "so3- acceptor missing (re-protonation pair)"
-    # a 2-hop acid->water->water chain exists
+    # a 2-hop acid->water->so3 chain re-protonates the anion: BOTH
+    # conjugate pairs (so3h/so3 and h3o/h2o) in one chain
     chains2 = [np.asarray(dset.hop_log)[s]
                for s in range(1, n) if int(dset.n_hops[s]) == 2]
-    assert any(int(c[0, 3]) == w_m for c in chains2), \
-        "no acid->water->X chain"
+    assert any(int(c[0, 3]) == w_m and int(c[1, 3]) == s_m
+               for c in chains2), "no acid->water->so3 chain"
 
     batch = build_diabat_topologies(topo, dset, system)
     diag_full, _, recip_full = ham.diabat_diagonal_energies_full(
@@ -367,5 +376,8 @@ def test_mixed_conjugate_pairs_enumeration_and_deltas(tmp_path):
         nlist.full_idx)
     np.testing.assert_allclose(np.asarray(recip_delta),
                                np.asarray(recip_full), rtol=1e-12)
+    # the engineered bridge geometry has near-contact pairs, so the
+    # diagonal magnitudes are large and the delta/full agreement is
+    # limited by fp64 cancellation (measured ~6e-10 relative)
     np.testing.assert_allclose(np.asarray(diag_delta)[:n],
-                               np.asarray(diag_full)[:n], rtol=1e-10)
+                               np.asarray(diag_full)[:n], rtol=5e-9)

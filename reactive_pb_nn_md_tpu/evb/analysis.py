@@ -104,12 +104,15 @@ def format_diabat_report(step, rows):
 
 
 def zundel_diagnostics(x, box, topo_d, system, donor_mol, acceptor_mol,
-                       proton_atom):
+                       proton_atom, d_heavy=None, a_heavy=None):
     """Geometric factor A and the donor/acceptor coordinates for one diabat
     (the debug=2 A-file content, ms_evb.f90:1079-1081 + write_geometry).
 
     topo_d must be the diabat's topology (acceptor protonated);
-    proton_atom is the transferred proton's global index from the hop log."""
+    proton_atom / d_heavy / a_heavy are global indices from the hop log
+    (cols 1/2/4).  The heavy indices fall back to the template heavy-slot
+    lookup when not given -- correct only for monoprotic bases like water
+    (see models/coupling.coupling_element)."""
     import numpy as np
     from ..models import coupling as cpl
     mt = system.mt
@@ -117,8 +120,13 @@ def zundel_diagnostics(x, box, topo_d, system, donor_mol, acceptor_mol,
     a = int(acceptor_mol)
     d_mtype = int(topo_d.mol_mtype[d])
     a_mtype = int(topo_d.mol_mtype[a])
-    d_heavy = int(topo_d.mol_atoms[d, max(int(mt.heavy_slot[d_mtype]), 0)])
-    a_heavy = int(topo_d.mol_atoms[a, max(int(mt.heavy_slot[a_mtype]), 0)])
+    if d_heavy is None:
+        d_heavy = int(topo_d.mol_atoms[d,
+                                       max(int(mt.heavy_slot[d_mtype]), 0)])
+    if a_heavy is None:
+        a_heavy = int(topo_d.mol_atoms[a,
+                                       max(int(mt.heavy_slot[a_mtype]), 0)])
+    d_heavy, a_heavy = int(d_heavy), int(a_heavy)
     proton = int(proton_atom)
 
     r_o1 = x[d_heavy]

@@ -402,6 +402,11 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
         donor = hop_log_s[last, 0]
         acceptor = hop_log_s[last, 3]
         proton = hop_log_s[last, 1]
+        # hop-log heavy atoms (cols 2/4): the physical donating/accepting
+        # oxygens -- a template heavy-slot lookup picks a wrong equivalent
+        # oxygen for polyatomic bases (see coupling_element docstring)
+        d_heavy = hop_log_s[last, 2]
+        a_heavy = hop_log_s[last, 4]
 
         # chain molecules' COM under this diabat's topology, computed on
         # the tiny 2C-row sub-topology.  The former full (M, 3) per-state
@@ -421,6 +426,7 @@ def coupling_elements(x, box, batch: DiabatBatch, system: System, com0,
 
         return coupling.coupling_element(x, box, topo_d, system,
                                          donor, acceptor, proton, act,
+                                         d_heavy, a_heavy,
                                          com0, mol_pack=mol_pack,
                                          chain=(mols, mvalid, com_chain,
                                                 last))

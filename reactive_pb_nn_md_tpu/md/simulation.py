@@ -360,7 +360,8 @@ class Simulation:
             topo_d = jax.tree_util.tree_map(lambda arr: arr[s], batch.topo)
             a_fac, dn, dx, an, ax = analysis.zundel_diagnostics(
                 ms.state.x, ms.state.box, topo_d, self.system,
-                int(hop[0]), int(hop[3]), int(hop[1]))
+                int(hop[0]), int(hop[3]), int(hop[1]),
+                d_heavy=int(hop[2]), a_heavy=int(hop[4]))
             self.a_f.write(analysis.format_zundel_geometry(
                 a_fac, dn, dx, an, ax))
         self.a_f.flush()

@@ -55,17 +55,55 @@ def geometric_factor(func, p, q_vec, r_OO_vec, nn_apply=None):
     return a
 
 
+def _env_features(x, box, topo, system, d, a, r_O1, r_O2):
+    """Differentiable environment descriptor for the PB-NN coupling: the
+    smooth first-shell coordination numbers of the donor and acceptor
+    heavy atoms,
+
+        cn = sum_{heavy k not in {donor, acceptor}} f_c(|r_k - r_O|),
+        f_c(r) = (1 + cos(pi r / r_c)) / 2  for r < r_c,  r_c = 3.5 A,
+
+    centred/normalized as cn/4 - 1 so zero = tetrahedral water coordination
+    (the pretraining default).  This is the presolvation coordinate of
+    Grotthuss transport: an undercoordinated acceptor is the one that can
+    take the proton.  Heavy = mass > 10 g/mol (O, S, ... -- a descriptor
+    choice, not a force-field dependency).  Fully differentiable in x, so
+    Hellmann-Feynman forces pick up d(cn)/dx exactly."""
+    rc = 3.5
+    heavy = system.mass > 10.0
+    other = (topo.atom_mol != d) & (topo.atom_mol != a) & heavy
+
+    def cn(center):
+        dr = pbc.min_image(x - center[None, :], box)
+        r = jnp.sqrt(jnp.maximum(jnp.sum(dr * dr, -1), 1e-12))
+        f = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.minimum(r, rc) / rc))
+        return jnp.sum(jnp.where(other, f, 0.0))
+
+    return jnp.stack([cn(r_O1) / 4.0 - 1.0, cn(r_O2) / 4.0 - 1.0])
+
+
 def coupling_element(x, box, topo: Topology, system: System,
                      donor_mol, acceptor_mol, proton_atom, active,
+                     d_heavy, a_heavy,
                      com=None, mol_pack=None, chain=None):
     """One off-diagonal element in the given (diabat) topology.
 
-    `proton_atom` is the GLOBAL index of the transferred proton, taken from
+    `proton_atom`, `d_heavy`, `a_heavy` are GLOBAL atom indices taken from
     the hop log (positions are shared across diabats, so the principle-
     topology index identifies the same atom in the diabat topology).  The
-    reference identifies the proton the same way, via the hop log's
-    stored atom index (ms_evb.f90:1044-1063) -- no template-slot-order
-    assumption.
+    heavy atoms MUST come from the hop log rather than a template
+    heavy-slot lookup: a polyatomic base (e.g. CH3SO3- with three
+    equivalent O_b) does not identify which oxygen donated/accepted the
+    proton by type alone, and this engine reorders atoms to the base
+    template on deprotonation, so the reference's fixed-slot convention
+    (get_heavy_atom_transfer_base, ms_evb.f90:2888-2911, which relies on
+    acid->base transfers NOT rearranging atoms, comment :2879-2887) does
+    not carry over.  The enumeration records the bonded heavy atom of the
+    transferred proton and the accepting heavy atom per hop (hop_log
+    columns 2 and 4) -- the same physical atoms the reference resolves.
+    Round-4 fix: the template lookup silently picked a wrong equivalent
+    oxygen for acid diabats (R_OO ~ 4.3 A instead of ~2.6 A), driving the
+    geometric factor -- and every acid->water coupling -- to ~0.
 
     mol_pack/chain select the molecule-major Vex path (see _vex_mol_major);
     the hot loop passes them so no per-state (N,)-row gathers remain."""
@@ -76,18 +114,12 @@ def coupling_element(x, box, topo: Topology, system: System,
     d = jnp.where(active, donor_mol, 0)
     a = jnp.where(active, acceptor_mol, 0)
 
-    # ---- participating atoms
+    # ---- participating atoms (hop-log global indices)
     d_mtype = topo.mol_mtype[d]
     a_mtype = topo.mol_mtype[a]
-    # donor heavy: acid-template slot of the donor's conjugate acid
-    # (get_heavy_atom_transfer_base, ms_evb.f90:2888-2911)
-    d_heavy = topo.mol_atoms[d, jnp.maximum(mt.heavy_slot[d_mtype], 0)]
-    a_heavy = topo.mol_atoms[a, jnp.maximum(mt.heavy_slot[a_mtype], 0)]
-    proton = jnp.where(active, proton_atom, 0)
-
-    d_heavy = jnp.maximum(d_heavy, 0)
-    a_heavy = jnp.maximum(a_heavy, 0)
-    proton = jnp.maximum(proton, 0)
+    d_heavy = jnp.maximum(jnp.where(active, d_heavy, 0), 0)
+    a_heavy = jnp.maximum(jnp.where(active, a_heavy, 0), 0)
+    proton = jnp.maximum(jnp.where(active, proton_atom, 0), 0)
 
     # ---- geometric factor, all positions min-imaged against O_donor.
     # ONE one-hot row matmul instead of three scalar-row gathers: the
@@ -110,7 +142,10 @@ def coupling_element(x, box, topo: Topology, system: System,
     nn_apply = None
     if evb.nn_params is not None:
         from ..nn.coupling_mlp import apply_mlp
-        nn_apply = lambda q2, roo: apply_mlp(evb.nn_params, q2, roo)
+        env = None
+        if evb.nn_params["w"][0].shape[0] > 3:
+            env = _env_features(x, box, topo, system, d, a, r_O1, r_O2)
+        nn_apply = lambda q2, roo: apply_mlp(evb.nn_params, q2, roo, env)
         vconst = jnp.where(func == 3, evb.nn_params["vconst"], vconst)
     a_fac = geometric_factor(func, params, q_vec, r_OO, nn_apply)
 

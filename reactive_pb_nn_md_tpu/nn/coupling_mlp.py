@@ -5,21 +5,35 @@ analytic forms; the "PB-NN" name of the upstream project points at a
 neural third form.  Here it is: a small MLP over symmetry-invariant
 features of the proton-transfer geometry,
 
-    A_nn(q^2, R_OO) = MLP([q^2, R_OO, exp(-R_OO)])
+    A_nn = MLP([q^2, R_OO, exp(-R_OO) [, cn_donor, cn_acceptor]])
 
-used as the geometric factor, with a learnable Vconst.  The element stays
-H_ij = (Vconst + Vex) * A_nn, so the exchange-charge electrostatics and
-Hellmann-Feynman force path are unchanged, and the parameters are a pytree
-that can be optimized end-to-end with optax against ab initio data (the
-whole adiabatic energy is differentiable w.r.t. nn_params).
+used as the geometric factor, with a learnable Vconst.  The optional
+ENVIRONMENT features (round 4) are the smooth first-solvation-shell
+coordination numbers of the donor and acceptor heavy atoms, computed
+differentiably in models/coupling._env_features -- the "presolvation"
+descriptor that makes the coupling environment-dependent (the physical
+content of the PB-NN idea: an acceptor that already holds 4 hydrogen
+bonds couples more weakly than an undercoordinated one).  An MLP whose
+first layer has 3 input rows is geometry-only; 5 rows switches the
+environment features on -- no separate flag, the parameter shape IS the
+configuration.
+
+The element stays H_ij = (Vconst + Vex) * A_nn, so the exchange-charge
+electrostatics and Hellmann-Feynman force path are unchanged, and the
+parameters are a pytree that can be optimized end-to-end with optax
+against ab initio data (the whole adiabatic energy is differentiable
+w.r.t. nn_params).
 """
 
 import jax
 import jax.numpy as jnp
 
 
-def init_mlp(key, hidden=(16, 16), vconst=-100.0, dtype=jnp.float32):
-    sizes = (3,) + tuple(hidden) + (1,)
+def init_mlp(key, hidden=(16, 16), vconst=-100.0, dtype=jnp.float32,
+             n_env=0):
+    """n_env > 0 adds that many environment-feature inputs (2 = the
+    donor/acceptor coordination numbers of models/coupling._env_features)."""
+    sizes = (3 + n_env,) + tuple(hidden) + (1,)
     params = {"vconst": jnp.asarray(vconst, dtype), "w": [], "b": []}
     for i in range(len(sizes) - 1):
         key, sub = jax.random.split(key)
@@ -30,8 +44,18 @@ def init_mlp(key, hidden=(16, 16), vconst=-100.0, dtype=jnp.float32):
     return params
 
 
-def apply_mlp(params, q2, roo):
-    h = jnp.stack([q2, roo, jnp.exp(-roo)]).reshape(1, 3)
+def apply_mlp(params, q2, roo, env=None):
+    """env: optional (n_env,) environment features; when the MLP expects
+    them but none are given (e.g. pretraining on the geometric surface
+    alone) they default to zero -- the centred/normalized encoding of
+    _env_features makes zero the 'mean-field solvation' point."""
+    n_in = params["w"][0].shape[0]
+    h = jnp.stack([q2, roo, jnp.exp(-roo)])
+    if n_in > 3:
+        if env is None:
+            env = jnp.zeros((n_in - 3,), h.dtype)
+        h = jnp.concatenate([h, env.astype(h.dtype)])
+    h = h.reshape(1, n_in)
     for w, b in zip(params["w"][:-1], params["b"][:-1]):
         h = jnp.tanh(h @ w + b)
     out = h @ params["w"][-1] + params["b"][-1]

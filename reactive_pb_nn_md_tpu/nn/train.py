@@ -64,7 +64,8 @@ def sample_geometries(key, n, q2_range=(0.0, 0.6), roo_range=(2.2, 3.2),
 
 
 def pretrain_geometric(cpl_params_row, key, hidden=(16, 16), n_samples=2048,
-                       steps=2000, lr=1e-2, dtype=jnp.float64, cpl_func=1):
+                       steps=2000, lr=1e-2, dtype=jnp.float64, cpl_func=1,
+                       n_env=0):
     """Stage 1: supervised fit of the MLP to labelled A(q2, roo).
 
     Returns (nn_params, final_rmse).  vconst is copied from the analytic
@@ -79,8 +80,12 @@ def pretrain_geometric(cpl_params_row, key, hidden=(16, 16), n_samples=2048,
     labels = analytic_geometric_surface(cpl_params_row, q2, roo,
                                         cpl_func=cpl_func)
 
+    # n_env > 0 reserves environment-feature inputs (coordination numbers,
+    # models/coupling._env_features); pretraining evaluates them at zero
+    # (= mean-field solvation), so the surface fit is unchanged and the
+    # env sensitivity is learned in stage 2 where real frames supply them
     nn = init_mlp(ki, hidden=hidden, vconst=float(cpl_params_row[0]),
-                  dtype=dtype)
+                  dtype=dtype, n_env=n_env)
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
     opt_state = opt.init(nn)
 
@@ -212,3 +217,33 @@ def finetune_adiabatic(nn, system, topo, box, cbw, xs, full_idxs,
         return nn, rmse0, rmse1
     f1 = float(jnp.sqrt(f_mse(nn) / 3.0))
     return nn, rmse0, rmse1, f0, f1
+
+
+def finetune_heldout(nn, system, topo, box, cbw, xs, full_idxs, pair_j,
+                     pair_mask, e_ref, split=0.75, steps=60, lr=1e-3):
+    """Stage-2 finetuning WITH a held-out validation set: the first
+    `split` fraction of frames trains (finetune_adiabatic), the remainder
+    is never seen by the optimizer, and the returned report carries both
+    residuals -- the transferability evidence a surface fit alone cannot
+    give.  Returns (nn, report) with report = {train_rmse_before/after,
+    test_rmse_before/after, n_train, n_test} in kJ/mol."""
+    F = xs.shape[0]
+    n_tr = max(1, min(F - 1, int(round(F * split))))
+    tr = slice(0, n_tr)
+    te = slice(n_tr, F)
+
+    energies = make_frame_energy_fn(system, topo, box, cbw)
+
+    def rmse(params, sl):
+        e = energies(params, xs[sl], full_idxs[sl], pair_j[sl],
+                     pair_mask[sl])
+        return float(jnp.sqrt(jnp.mean((e - e_ref[sl]) ** 2)))
+
+    test0 = rmse(nn, te)
+    nn, tr0, tr1 = finetune_adiabatic(
+        nn, system, topo, box, cbw, xs[tr], full_idxs[tr], pair_j[tr],
+        pair_mask[tr], e_ref[tr], steps=steps, lr=lr)
+    report = {"train_rmse_before": tr0, "train_rmse_after": tr1,
+              "test_rmse_before": test0, "test_rmse_after": rmse(nn, te),
+              "n_train": n_tr, "n_test": F - n_tr}
+    return nn, report

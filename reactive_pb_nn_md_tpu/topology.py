@@ -663,14 +663,20 @@ def build_system(gro: GroFrame, ff_raw: RawForceField, top_raw: TopologyFileRaw,
         eigensolver=str(getattr(cfg, "eigensolver", "eigh")),
         compensated_sum=bool(getattr(cfg, "compensated_sum", False)),
         rs_cells=_suggest_rs_cells_safe(N, gro.box, cfg.real_space_cutoff),
-        pme_scap=_suggest_slab_cap_safe(N, int(cfg.pme_grid)),
+        pme_scap=_suggest_slab_cap_safe(N, int(cfg.pme_grid), gro.box),
         evb_rep_rc_max=rep_rc_max,
     )
     return system, topo
 
 
-def _suggest_slab_cap_safe(n_atoms, K, order=6):
+def _suggest_slab_cap_safe(n_atoms, K, box=None, order=6):
     from .ops.pallas.pme_slab import suggest_slab_cap
+    if box is not None:
+        import numpy as _np
+        b = _np.asarray(box, dtype=_np.float64)
+        if _np.abs(b - _np.diag(_np.diag(b))).max() > 1e-9:
+            return 0            # slab kernel assumes a diagonal box; the
+                                # XLA spread path is fully general
     if K + order - 1 > 128:     # grid row exceeds the kernel's lane segment
         return 0
     if n_atoms < 48 * K:

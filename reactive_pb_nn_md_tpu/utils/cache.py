@@ -43,15 +43,22 @@ def machine_fingerprint() -> str:
 
 
 def enable_compile_cache():
-    """Point jax's persistent compilation cache at the machine-keyed dir.
+    """Point jax's persistent compilation cache at the shared TPU dir.
     No-op (returns None) in CPU-targeted processes -- see module
-    docstring.  Call AFTER any jax.config.update("jax_platforms", ...)."""
+    docstring.  Call AFTER any jax.config.update("jax_platforms", ...).
+
+    The dir is NOT machine-fingerprinted (round 4): only CPU AOT entries
+    exhibit the cross-machine segfault, and those processes skip the
+    cache entirely; TPU (PJRT tunnel) executables are keyed by the TPU
+    plugin, not the host CPU.  Fingerprinting cost round 3 its bench
+    artifact -- the round-end worker landed on different silicon, found
+    an empty mf-* dir, and the cold compiles blew the driver timeout."""
     import jax
     plat = (jax.config.jax_platforms or "").split(",")[0]
     if plat == "cpu":
         return None
     base = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-    d = os.path.join(base, f"mf-{machine_fingerprint()}")
+    d = os.path.join(base, "tpu")
     try:
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)

@@ -196,6 +196,37 @@ def test_acid_proton_transfer_diabats(acid_setup):
     assert Hm[0, 0] - Hm[s, s] != 0.0
 
 
+def test_acid_coupling_uses_hop_log_heavy_atoms(acid_setup):
+    """Round-4 regression: the diabatic coupling must anchor on the
+    PHYSICAL donating/accepting oxygens from the hop log, not a template
+    heavy-slot lookup.  CH3SO3- has three equivalent O_b; the template
+    slot silently picked a wrong one (R_OO ~ 4.3 A -> A-factor ~1e-10 ->
+    every acid->water coupling ~0, which let round-3's acid benches run
+    hop-free).  Asserts (a) the coupling geometry's R_OO is a genuine
+    H-bond distance, (b) the acid->water off-diagonal is O(10) kJ/mol."""
+    system, topo, x, box, pairs, cbw = acid_setup
+    res, batch = ham.adiabatic_energy_force(x, box, topo, system, pairs, cbw)
+    dset = batch.dset
+    n = int(res.n_states)
+    Hm = np.asarray(res.hamiltonian)
+    xs = np.asarray(x)
+    found = False
+    for s in range(1, n):
+        hop = np.asarray(dset.hop_log[s, 0])
+        if hop[0] != 0 or int(np.asarray(dset.n_hops[s])) != 1:
+            continue                     # direct acid->water states only
+        d_heavy, a_heavy = int(hop[2]), int(hop[4])
+        dr = xs[a_heavy] - xs[d_heavy]
+        b = np.diag(np.asarray(box))
+        dr -= np.round(dr / b) * b
+        roo = float(np.linalg.norm(dr))
+        assert roo < 3.5, (s, roo, "coupling anchored on a far oxygen")
+        if abs(Hm[0, s]) > 5.0:
+            found = True
+    assert found, "no acid->water coupling above 5 kJ/mol " \
+                  "(heavy-slot regression?)"
+
+
 def test_driver_loop_on_acid_system(tmp_path):
     """The FULL driver loop (scan chunks, logging, hop detection,
     checkpointing) on the reference's own two-evb_pairs force field --

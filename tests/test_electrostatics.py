@@ -11,6 +11,7 @@ import numpy as np
 from reactive_pb_nn_md_tpu.models import pme, nonbonded
 from reactive_pb_nn_md_tpu.utils import pbc
 from reactive_pb_nn_md_tpu.utils.constants import CONV_E2A_KJMOL
+import pytest
 
 MADELUNG_NACL = 1.747564594633
 
@@ -33,6 +34,7 @@ def _coulomb_total(x, q, box, alpha, cutoff, K, order):
     return e_real + e_recip + e_self
 
 
+@pytest.mark.smoke
 def test_madelung_nacl():
     d = 2.0                      # nearest-neighbor distance
     L = 2 * d

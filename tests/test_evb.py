@@ -108,6 +108,7 @@ def test_diabat_topology_invariants(evb_setup):
         assert len(seen) == system.n_atoms
 
 
+@pytest.mark.smoke
 def test_diag_matches_full_recompute(evb_setup):
     """Base-grid + delta-Q reciprocal energy must equal a from-scratch PME
     of the diabat's own charges."""
@@ -240,6 +241,7 @@ def dset_mols(t):
     return _np.arange(t.mol_mtype.shape[0])
 
 
+@pytest.mark.smoke
 def test_symmetric_zundel(tmp_path_factory):
     """H5O2+ with mirror symmetry: two diabats, equal diagonals, |c| equal."""
     tmp = tmp_path_factory.mktemp("zundel")

@@ -3,9 +3,12 @@ exclusion generation (initialize_routines.f90:448-634,
 intra_bonded_interactions.f90:574-660)."""
 
 import numpy as np
+import pytest
 
 from reactive_pb_nn_md_tpu.io.ffpmt import RawForceField, compile_vdw_tables
 from reactive_pb_nn_md_tpu.topology import generate_exclusions
+
+pytestmark = pytest.mark.smoke
 
 
 def _ff(eps_sigma, cross=()):

@@ -42,6 +42,7 @@ def _energy_fn(system, topo, box, pairs, cbw):
     return f
 
 
+@pytest.mark.smoke
 def test_finite_difference_forces(water_system):
     system, topo, x, box = water_system
     cap = neighbors.suggest_capacity(system.n_atoms,

@@ -8,6 +8,8 @@ from reactive_pb_nn_md_tpu.io.topfile import read_top
 from reactive_pb_nn_md_tpu.io.simpmt import read_sim_params
 from reactive_pb_nn_md_tpu.io.gro import read_gro, format_gro_frame
 
+pytestmark = pytest.mark.smoke
+
 REF_DIR = "/root/reference/example_input_files"
 
 

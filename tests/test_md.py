@@ -50,6 +50,7 @@ def test_nve_energy_conservation(tmp_path):
     assert np.std(etot) < 0.02 * ke
 
 
+@pytest.mark.smoke
 def test_reactive_md_steps(tmp_path):
     from reactive_pb_nn_md_tpu.md import integrators
     sim = _sim(tmp_path, n_water=63, msevb="yes")

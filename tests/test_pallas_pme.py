@@ -7,6 +7,8 @@ import numpy as np
 
 from reactive_pb_nn_md_tpu.models import pme
 from reactive_pb_nn_md_tpu.ops.pallas.pme_spread import charge_grid_pallas
+import pytest
+
 from reactive_pb_nn_md_tpu.ops.pallas.pme_slab import (
     charge_grid_slab, pme_slab_overflow, suggest_slab_cap)
 
@@ -19,6 +21,7 @@ def _random_system(n=40, K=16, L=12.0, seed=0):
     return x, q, box
 
 
+@pytest.mark.smoke
 def test_spread_matches_xla():
     x, q, box = _random_system()
     for order in (4, 6):

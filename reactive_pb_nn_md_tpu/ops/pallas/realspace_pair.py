@@ -63,27 +63,41 @@ def _on_tpu():
 
 _SENTINEL = 1.0e6      # empty-slot position: far outside any cutoff
 
-_STENCIL_IMPL = "auto"          # "auto" | "half" | "full"
+_STENCIL_IMPL = "auto"          # "auto" | "half" | "full" | "column"
 # measured crossover (v5e, fwd+grad): 64 cells full wins 0.40 vs 0.60 ms,
 # 343 cells half wins 0.81 vs 0.90, 1000 cells half wins 2.06 vs 2.50 --
 # the j-side machinery is per-program fixed cost, the candidate-math
-# saving scales with J
+# saving scales with J.  The COLUMN walk (round 4) processes a whole
+# z-column of cells per program: 10x fewer programs, the 14 tiny
+# (8, ccap) stencil DMAs per cell become 5 (8, Z*ccap) column loads per
+# program, and the 13 per-offset j-side outputs become 4 per-column
+# outputs -- attacking the per-program/DMA overhead that dominates the
+# kernel at 10^4 atoms (measured 1.68 us/program against ~0.2 us of VPU
+# candidate math).
 _HALF_MIN_CELLS = 200
 
 
 def set_stencil_impl(impl):
-    """Select the stencil enumeration: "auto" (default; half for grids of
-    >= _HALF_MIN_CELLS cells, else full), "half", "full".  Takes effect at
-    trace time (re-jit after switching)."""
+    """Select the stencil enumeration: "auto" (default; column for grids
+    of >= _HALF_MIN_CELLS cells, else full), "half", "full", "column".
+    Takes effect at trace time (re-jit after switching)."""
     global _STENCIL_IMPL
-    assert impl in ("auto", "half", "full"), impl
+    assert impl in ("auto", "half", "full", "column"), impl
     _STENCIL_IMPL = impl
 
 
-def _use_half(cells):
+def _impl_for(cells):
     if _STENCIL_IMPL == "auto":
-        return cells[0] * cells[1] * cells[2] >= _HALF_MIN_CELLS
-    return _STENCIL_IMPL == "half"
+        big = cells[0] * cells[1] * cells[2] >= _HALF_MIN_CELLS
+        # measured at 10k atoms (v5e, fwd+grad): column 2.50 ms vs half
+        # 2.94 vs full 3.35 -- the column walk's fewer programs + bigger
+        # DMAs win at scale; small grids keep the single-cell full path
+        return "column" if big else "full"
+    return _STENCIL_IMPL
+
+
+def _use_half(cells):
+    return _impl_for(cells) == "half"
 
 
 def _offsets(half):
@@ -187,6 +201,149 @@ def _nb_of(c, o, cells):
     return (a * n2 + b) * n3 + d
 
 
+def _pair_math(own, sc, par_ref, tabs_ref, T, has_sapt, pair_once, valid_j):
+    """Candidate-pair physics on one (ccap, J) block -- shared by the
+    per-cell kernels and the column-walk kernel.
+
+    own: (ccap, 8) row-major i-side [x y z q type mol 0 0]; sc: (8, J)
+    component-major j-side; pair_once: (ccap, J) or broadcastable mask
+    selecting each unordered pair once; valid_j: (1, J) j-lane validity.
+    Returns (gxe, gye, gze, gxv, gyv, gzv, e_el_pair, e_vdw_pair), all
+    (ccap, J), already zeroed outside the within-cutoff mask."""
+    f32 = own.dtype
+    Lx = par_ref[0, 0]
+    Ly = par_ref[0, 1]
+    Lz = par_ref[0, 2]
+    rcut2 = par_ref[0, 3]
+    alpha = par_ref[0, 4]
+    conv = par_ref[0, 5]
+
+    def mi(d, L):
+        return d - L * jnp.round(d * (1.0 / L))
+
+    dx = mi(own[:, 0:1] - sc[0:1, :], Lx)
+    dy = mi(own[:, 1:2] - sc[1:2, :], Ly)
+    dz = mi(own[:, 2:3] - sc[2:3, :], Lz)
+    r2 = dx * dx + dy * dy + dz * dz
+
+    mol_i = own[:, 5:6]
+    mol_j = sc[5:6, :]
+    # mol >= 0 checks are load-bearing for empty slots: the 1e6 sentinel
+    # position FOLDS back into the box under the minimum image
+    within = ((r2 < rcut2) & (mol_i != mol_j)
+              & (mol_i >= 0.0) & (mol_j >= 0.0)
+              & valid_j & pair_once)
+
+    r2s = jnp.where(within, r2, 1.0)
+    inv_r2 = 1.0 / r2s
+    r = jnp.sqrt(r2s)
+    inv_r = 1.0 / r
+
+    # erfc Ewald energy + force factor (pairwise_real_space_ewald)
+    qq = (own[:, 3:4] * sc[3:4, :]) * conv
+    ar = alpha * r
+    erfc_ar = _erfc_pos(ar)
+    gauss = jnp.exp(-ar * ar)
+    e_el_pair = qq * erfc_ar * inv_r
+    two_a_pi = 2.0 * alpha / SQRT_PI
+    s_el = qq * (erfc_ar * inv_r + two_a_pi * gauss) * inv_r2
+
+    # vdW parameters via one-hot MXU contractions
+    ti = own[:, 4:5]
+    tj = sc[4:5, :]
+    tt_i = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(f32)
+    tt_j = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
+    oh_i = (ti == tt_i).astype(f32)
+    oh_j = (tj == tt_j).astype(f32)
+
+    def pair_tab(k):
+        m = jnp.dot(tabs_ref[k], oh_j, preferred_element_type=f32)
+        return jnp.dot(oh_i, m, preferred_element_type=f32)
+
+    vt = pair_tab(0)
+    c12 = pair_tab(1)
+    c6 = pair_tab(2)
+
+    inv_r6 = inv_r2 * inv_r2 * inv_r2
+    inv_r12 = inv_r6 * inv_r6
+    is_lj = vt == 0.0
+    e_vdw_pair = jnp.where(is_lj, c12 * inv_r12 - c6 * inv_r6, 0.0)
+    s_vdw = jnp.where(is_lj,
+                      (12.0 * c12 * inv_r12 - 6.0 * c6 * inv_r6) * inv_r2,
+                      0.0)
+
+    if has_sapt:
+        A = pair_tab(3)
+        B = pair_tab(4)
+        Cs = [c6, pair_tab(5), pair_tab(6), pair_tab(7)]
+        x_tt = jnp.minimum(B * r, 40.0)
+        ex = jnp.exp(-x_tt)
+        e_s = A * ex
+        s_s = A * B * ex * inv_r
+        term = jnp.ones_like(x_tt)
+        ssum = jnp.ones_like(x_tt)
+        inv_rn = inv_r6
+        fact = 1.0
+        for n in range(1, 13):
+            fact = fact * n
+            term = term * x_tt
+            ssum = ssum + term / fact
+            if n in (6, 8, 10, 12):
+                fn = 1.0 - ssum * ex
+                dfn = ex * term / fact
+                Cn = Cs[(n - 6) // 2]
+                e_s = e_s - fn * Cn * inv_rn
+                s_s = s_s + (B * dfn * Cn * inv_rn
+                             - n * fn * Cn * inv_rn * inv_r) * inv_r
+                inv_rn = inv_rn * inv_r2
+        is_sapt = vt == 1.0
+        e_vdw_pair = jnp.where(is_sapt, e_s, e_vdw_pair)
+        s_vdw = jnp.where(is_sapt, s_s, s_vdw)
+
+    zero = jnp.zeros_like(e_el_pair)
+    e_el_pair = jnp.where(within, e_el_pair, zero)
+    e_vdw_pair = jnp.where(within, e_vdw_pair, zero)
+    s_el = jnp.where(within, s_el, zero)
+    s_vdw = jnp.where(within, s_vdw, zero)
+    # masked displacements too: 0 * NaN/sentinel poisons the row sums
+    dx = jnp.where(within, dx, zero)
+    dy = jnp.where(within, dy, zero)
+    dz = jnp.where(within, dz, zero)
+
+    return (s_el * dx, s_el * dy, s_el * dz,
+            s_vdw * dx, s_vdw * dy, s_vdw * dz, e_el_pair, e_vdw_pair)
+
+
+def _fi_rows(parts, half):
+    """i-side force rows + energy partial lanes: (ccap, 8) from the
+    (ccap, J) per-pair partials."""
+    gxe, gye, gze, gxv, gyv, gzv, e_el_pair, e_vdw_pair = parts
+    ef = 1.0 if half else 0.5
+    return jnp.concatenate(
+        [-jnp.sum(gxe, axis=1, keepdims=True),
+         -jnp.sum(gye, axis=1, keepdims=True),
+         -jnp.sum(gze, axis=1, keepdims=True),
+         -jnp.sum(gxv, axis=1, keepdims=True),
+         -jnp.sum(gyv, axis=1, keepdims=True),
+         -jnp.sum(gzv, axis=1, keepdims=True),
+         ef * jnp.sum(e_el_pair, axis=1, keepdims=True),
+         ef * jnp.sum(e_vdw_pair, axis=1, keepdims=True)], axis=1)
+
+
+def _cs_rows(parts):
+    """j-side component-major partials (8, J): one column reduction per
+    force component, assembled by iota row-select (Mosaic cannot
+    concatenate (1, J) vectors at distinct sublane offsets)."""
+    f32 = parts[0].dtype
+    J = parts[0].shape[1]
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    CS = jnp.zeros((8, J), f32)
+    for m, comp in enumerate(parts[:6]):
+        cs = jnp.sum(comp, axis=0, keepdims=True)
+        CS = CS + jnp.where(rowsel == m, cs, 0.0)
+    return CS
+
+
 def _kernel(cmt_ref, tabs_ref, par_ref, *refs,
             cells, T, n_tab, has_sapt, half):
     """One program per cell.
@@ -223,24 +380,6 @@ def _kernel(cmt_ref, tabs_ref, par_ref, *refs,
 
     own = cmt_ref[c].T                                     # (ccap, 8)
 
-    Lx = par_ref[0, 0]
-    Ly = par_ref[0, 1]
-    Lz = par_ref[0, 2]
-    rcut2 = par_ref[0, 3]
-    alpha = par_ref[0, 4]
-    conv = par_ref[0, 5]
-
-    # ---- minimum-image pair distances, (ccap, J)
-    def mi(d, L):
-        return d - L * jnp.round(d * (1.0 / L))
-
-    dx = mi(own[:, 0:1] - scratch[0:1, :], Lx)
-    dy = mi(own[:, 1:2] - scratch[1:2, :], Ly)
-    dz = mi(own[:, 2:3] - scratch[2:3, :], Lz)
-    r2 = dx * dx + dy * dy + dz * dz
-
-    mol_i = own[:, 5:6]
-    mol_j = scratch[5:6, :]
     # self-pair / half ordering: compare packed slot (row) ids
     gid_i = (c * ccap
              + jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0))
@@ -250,132 +389,120 @@ def _kernel(cmt_ref, tabs_ref, par_ref, *refs,
     for k, nb in enumerate(nbs):
         gid_j = jnp.where(nb_of_lane == k,
                           nb * ccap + lane - k * ccap, gid_j)
-    valid_j = (lane < nsten * ccap) & (mol_j >= 0.0)
+    # scratch lanes beyond nsten*ccap are uninitialized: exclude them (the
+    # _pair_math mask also zeroes displacements, or 0 * NaN poisons sums)
+    valid_j = lane < nsten * ccap
     if half:
         # block 0 is the self cell: strict upper triangle; cross-cell
         # blocks appear in exactly one program already
         pair_once = (nb_of_lane != 0) | (gid_i < gid_j)
     else:
         pair_once = gid_i != gid_j
-    within = ((r2 < rcut2) & (mol_i != mol_j) & (mol_i >= 0.0)
-              & valid_j & pair_once)
 
-    r2s = jnp.where(within, r2, 1.0)
-    inv_r2 = 1.0 / r2s
-    r = jnp.sqrt(r2s)
-    inv_r = 1.0 / r
-
-    # ---- erfc Ewald energy + force factor (pairwise_real_space_ewald)
-    qq = (own[:, 3:4] * scratch[3:4, :]) * conv
-    ar = alpha * r
-    erfc_ar = _erfc_pos(ar)
-    gauss = jnp.exp(-ar * ar)
-    e_el_pair = qq * erfc_ar * inv_r
-    # S = -(1/r) dE/dr  (force = S * dr_vec on atom i)
-    two_a_pi = 2.0 * alpha / SQRT_PI
-    s_el = qq * (erfc_ar * inv_r + two_a_pi * gauss) * inv_r2
-
-    # ---- vdW parameters via one-hot MXU contractions
-    ti = own[:, 4:5]
-    tj = scratch[4:5, :]
-    tt_i = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(f32)
-    tt_j = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0).astype(f32)
-    oh_i = (ti == tt_i).astype(f32)                        # (ccap, T)
-    oh_j = (tj == tt_j).astype(f32)                        # (T, J)
-
-    def pair_tab(k):
-        m = jnp.dot(tabs_ref[k], oh_j, preferred_element_type=f32)
-        return jnp.dot(oh_i, m, preferred_element_type=f32)
-
-    vt = pair_tab(0)                                       # -1 none/0 LJ/1 SAPT
-    c12 = pair_tab(1)
-    c6 = pair_tab(2)
-
-    inv_r6 = inv_r2 * inv_r2 * inv_r2
-    inv_r12 = inv_r6 * inv_r6
-    is_lj = vt == 0.0
-    e_vdw_pair = jnp.where(is_lj, c12 * inv_r12 - c6 * inv_r6, 0.0)
-    s_vdw = jnp.where(is_lj,
-                      (12.0 * c12 * inv_r12 - 6.0 * c6 * inv_r6) * inv_r2,
-                      0.0)
-
-    if has_sapt:
-        A = pair_tab(3)
-        B = pair_tab(4)
-        Cs = [c6, pair_tab(5), pair_tab(6), pair_tab(7)]   # C6 C8 C10 C12
-        x_tt = jnp.minimum(B * r, 40.0)
-        ex = jnp.exp(-x_tt)
-        e_s = A * ex
-        s_s = A * B * ex * inv_r
-        # f_n(x) = 1 - e^-x sum_k x^k/k!; f_n'(x) = e^-x x^n/n!
-        term = jnp.ones_like(x_tt)
-        ssum = jnp.ones_like(x_tt)
-        inv_rn = inv_r6
-        fact = 1.0
-        for n in range(1, 13):
-            fact = fact * n
-            term = term * x_tt
-            ssum = ssum + term / fact
-            if n in (6, 8, 10, 12):
-                fn = 1.0 - ssum * ex
-                dfn = ex * term / fact                    # f_n'(x)
-                Cn = Cs[(n - 6) // 2]
-                e_s = e_s - fn * Cn * inv_rn
-                s_s = s_s + (B * dfn * Cn * inv_rn
-                             - n * fn * Cn * inv_rn * inv_r) * inv_r
-                inv_rn = inv_rn * inv_r2
-        is_sapt = vt == 1.0
-        e_vdw_pair = jnp.where(is_sapt, e_s, e_vdw_pair)
-        s_vdw = jnp.where(is_sapt, s_s, s_vdw)
-
-    zero = jnp.zeros_like(e_el_pair)
-    e_el_pair = jnp.where(within, e_el_pair, zero)
-    e_vdw_pair = jnp.where(within, e_vdw_pair, zero)
-    s_el = jnp.where(within, s_el, zero)
-    s_vdw = jnp.where(within, s_vdw, zero)
-    # scratch lanes beyond nsten*ccap are uninitialized: zero the
-    # displacement components too, or 0 * NaN poisons the force row sums
-    dx = jnp.where(within, dx, zero)
-    dy = jnp.where(within, dy, zero)
-    dz = jnp.where(within, dz, zero)
-
-    gxe, gye, gze = s_el * dx, s_el * dy, s_el * dz
-    gxv, gyv, gzv = s_vdw * dx, s_vdw * dy, s_vdw * dz
-
-    # dE/dx_i = -sum_j S * dr_vec  (S = -(1/r) dE/dr); the cell's energy
-    # partial sums ride in the two spare lanes as per-row partials (full
-    # stencil counts every pair twice -> 1/2; half counts it once)
-    ef = 1.0 if half else 0.5
-    fi = jnp.concatenate(
-        [-jnp.sum(gxe, axis=1, keepdims=True),
-         -jnp.sum(gye, axis=1, keepdims=True),
-         -jnp.sum(gze, axis=1, keepdims=True),
-         -jnp.sum(gxv, axis=1, keepdims=True),
-         -jnp.sum(gyv, axis=1, keepdims=True),
-         -jnp.sum(gzv, axis=1, keepdims=True),
-         ef * jnp.sum(e_el_pair, axis=1, keepdims=True),
-         ef * jnp.sum(e_vdw_pair, axis=1, keepdims=True)], axis=1)
+    parts = _pair_math(own, scratch[...], par_ref, tabs_ref, T, has_sapt,
+                       pair_once, valid_j)
+    fi = _fi_rows(parts, half)
 
     if not half:
         f_ref[...] = fi
         return
 
-    # ---- half path: j-side partials per stencil block.  dE/dx_j =
-    # +S * dr_vec summed over rows.  ONE full-width column reduction per
-    # component, assembled into an (8, J) component-major matrix by iota
-    # row-select (Mosaic cannot concatenate (1, J) vectors at distinct
-    # sublane offsets); block k's partial is then a static lane slice
-    # written COMPONENT-MAJOR -- XLA transposes the summed result once,
-    # instead of 13 in-kernel (8, ccap) transposes per program.
-    rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    CS = jnp.zeros((8, J), f32)
-    for m, comp in enumerate((gxe, gye, gze, gxv, gyv, gzv)):
-        cs = jnp.sum(comp, axis=0, keepdims=True)          # (1, J)
-        CS = CS + jnp.where(rowsel == m, cs, 0.0)
-
+    # ---- half path: j-side partials per stencil block, written
+    # COMPONENT-MAJOR -- XLA transposes the summed result once, instead
+    # of 13 in-kernel (8, ccap) transposes per program.
+    CS = _cs_rows(parts)
     f_ref[...] = fi + CS[:, 0:ccap].T           # self block's j side
     for k in range(1, nsten):
         nb_refs[k - 1][0] = CS[:, k * ccap:(k + 1) * ccap]
+
+
+def _col_of(p, o, cells):
+    """xy-column id for offset o = (di, dj) of column p (traced scalars;
+    offsets in {-1,0,1} so adding nc keeps operands non-negative)."""
+    nc1, nc2, _, _ = cells
+    i32 = jnp.int32
+    p = jnp.asarray(p, i32)
+    n1, n2 = i32(nc1), i32(nc2)
+    a = jax.lax.rem(p // n2 + i32(o[0] + nc1), n1)
+    b = jax.lax.rem(p % n2 + i32(o[1] + nc2), n2)
+    return a * n2 + b
+
+
+_COL_OFFS = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def _kernel_column(cmt_ref, tabs_ref, par_ref, *refs,
+                   cells, T, n_tab, has_sapt):
+    """One program per xy-COLUMN of cells (z ghost-padded).
+
+    cmt_ref  : (nc1*nc2, 8, Z*ccap) packed component-major column data,
+               Z = nc3 + 2 with ghost copies of cells nc3-1 / 0 at the
+               z-ends, so every z-run of stencil cells is a CONTIGUOUS
+               lane range -- 5 column loads replace 14 per-cell stencil
+               DMAs x nc3 cells, and 4 per-column j-side outputs replace
+               13 per-cell ones.  The z loop is statically unrolled
+               (static lane offsets; Mosaic forbids dynamic lane slices).
+    refs     : f_ref (Z*ccap, 8) i-side rows + energy lanes,
+               4 j-side outputs (1, 8, Z*ccap) at _col_of-mapped rows,
+               5 column scratch (8, Z*ccap), 4 accumulators (8, Z*ccap),
+               1 fbuf (Z*ccap, 8)
+    Pair enumeration is the same half set as `_kernel`: self cell
+    (upper triangle) + 13 positive offsets, grouped as self-column
+    z∈{0,+1} and 4 positive columns z∈{-1,0,+1}."""
+    nc1, nc2, nc3, ccap = cells
+    Z = nc3 + 2
+    Zc = Z * ccap
+    f_ref = refs[0]
+    nb_refs = refs[1:5]
+    colbuf = refs[5:10]
+    accbuf = refs[10:14]
+    fbuf = refs[14]
+    f32 = cmt_ref.dtype
+    p = pl.program_id(0)
+
+    for k, o in enumerate(_COL_OFFS):
+        colbuf[k][...] = cmt_ref[_col_of(p, o, cells)]     # (8, Zc)
+    for k in range(4):
+        accbuf[k][...] = jnp.zeros((8, Zc), f32)
+    fbuf[...] = jnp.zeros((Zc, 8), f32)
+
+    J = 14 * ccap
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, J), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (ccap, 1), 0)
+    # block 0 (self cell): strict upper triangle; all other blocks once
+    pair_once = (lane >= ccap) | (row < lane)
+    valid_j = lane < J
+
+    for z in range(nc3):
+        own = colbuf[0][:, (z + 1) * ccap:(z + 2) * ccap].T  # (ccap, 8)
+        sc = jnp.concatenate(
+            [colbuf[0][:, (z + 1) * ccap:(z + 3) * ccap]]   # self z, z+1
+            + [colbuf[k][:, z * ccap:(z + 3) * ccap]        # z-1, z, z+1
+               for k in range(1, 5)], axis=1)               # (8, 14*ccap)
+
+        parts = _pair_math(own, sc, par_ref, tabs_ref, T, has_sapt,
+                           pair_once, valid_j)
+        a0 = (z + 1) * ccap
+        # i-side rows ADD into fbuf (iteration z-1's self-column j
+        # partials already landed on these rows -- overwrite would
+        # destroy them)
+        fbuf[a0:a0 + ccap, :] = (fbuf[a0:a0 + ccap, :]
+                                 + _fi_rows(parts, True))
+        CS = _cs_rows(parts)                                # (8, J)
+        # self-column j side (blocks z, z+1): one (8, 2*ccap) transpose
+        # per z into the row-major fbuf
+        fbuf[a0:a0 + 2 * ccap, :] = (fbuf[a0:a0 + 2 * ccap, :]
+                                     + CS[:, 0:2 * ccap].T)
+        # positive columns' j side: component-major accumulation at the
+        # ghost-extended lane range z .. z+3
+        for k in range(1, 5):
+            seg = CS[:, (2 + 3 * (k - 1)) * ccap:(2 + 3 * k) * ccap]
+            accbuf[k - 1][:, z * ccap:(z + 3) * ccap] = (
+                accbuf[k - 1][:, z * ccap:(z + 3) * ccap] + seg)
+
+    f_ref[...] = fbuf[...]
+    for k in range(4):
+        nb_refs[k][0] = accbuf[k][...]
 
 
 def _build_tabs(system, dtype):
@@ -425,7 +552,8 @@ def _forward(x, charge, atype, mol, box, tabs, cells, consts):
     n_cells = nc1 * nc2 * nc3
     f = x.dtype
     N = x.shape[0]
-    half = _use_half(cells)
+    impl = _impl_for(cells)
+    half = impl == "half"
     nsten = len(_offsets(half))
 
     slot, overflow = _bin_atoms(x, box, cells)
@@ -446,6 +574,14 @@ def _forward(x, charge, atype, mol, box, tabs, cells, consts):
     par = jnp.array([[0.0] * 8], f).at[0, 0:3].set(L)
     par = par.at[0, 3].set(rcut * rcut).at[0, 4].set(alpha)
     par = par.at[0, 5].set(CONV_E2A_KJMOL)
+
+    if impl == "column":
+        f_cells = _forward_column(cm, tabs, par, cells, T, n_tab, has_sapt)
+        e_el = jnp.sum(f_cells[:, 6])
+        e_vdw = jnp.sum(f_cells[:, 7])
+        fpad = jnp.concatenate([f_cells, jnp.zeros((1, 8), f)], axis=0)
+        g = fpad[slot]
+        return e_el, e_vdw, (g[:, 0:3], g[:, 3:6]), overflow
 
     J = nsten * ccap
     Jpad = -(-J // 128) * 128
@@ -491,6 +627,63 @@ def _forward(x, charge, atype, mol, box, tabs, cells, consts):
     fpad = jnp.concatenate([f_cells, jnp.zeros((1, 8), f)], axis=0)
     g = fpad[slot]                                         # (N, 8)
     return e_el, e_vdw, (g[:, 0:3], g[:, 3:6]), overflow
+
+
+def _forward_column(cm, tabs, par, cells, T, n_tab, has_sapt):
+    """Column-walk dispatch: ghost-pad the packed cells along z, run one
+    program per xy-column, fold the ghost contributions back.  Returns
+    f_cells (n_cells*ccap, 8) in the same layout as the per-cell paths."""
+    nc1, nc2, nc3, ccap = cells
+    f = cm.dtype
+    P = nc1 * nc2
+    Z = nc3 + 2
+    Zc = Z * ccap
+
+    cm3 = cm.reshape(nc1, nc2, nc3, ccap, 8)
+    ghost = jnp.concatenate([cm3[:, :, -1:], cm3, cm3[:, :, :1]], axis=2)
+    cmtz = ghost.reshape(P, Zc, 8).transpose(0, 2, 1)      # (P, 8, Zc)
+
+    out_shape = [jax.ShapeDtypeStruct((P * Zc, 8), f)]
+    out_specs = [pl.BlockSpec((Zc, 8), lambda p: (p, 0),
+                              memory_space=pltpu.VMEM)]
+    for o in _COL_OFFS[1:]:
+        out_shape.append(jax.ShapeDtypeStruct((P, 8, Zc), f))
+        out_specs.append(pl.BlockSpec(
+            (1, 8, Zc),
+            functools.partial(
+                lambda p, _o: (_col_of(p, _o, cells), 0, 0), _o=o),
+            memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        functools.partial(_kernel_column, cells=cells, T=T, n_tab=n_tab,
+                          has_sapt=has_sapt),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # cmtz
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # tabs
+            pl.BlockSpec((1, 8), lambda p: (0, 0),
+                         memory_space=pltpu.SMEM),          # par
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((8, Zc), f)] * 5         # column loads
+        + [pltpu.VMEM((8, Zc), f)] * 4                      # j-side accs
+        + [pltpu.VMEM((Zc, 8), f)],                         # fbuf
+        interpret=not _on_tpu(),
+    )(cmtz, tabs, par)
+
+    def fold(r):
+        """(P, Z, ccap, 8) ghost-extended -> (P, nc3, ccap, 8): ghost 0
+        copies cell nc3-1, ghost Z-1 copies cell 0."""
+        main = r[:, 1:nc3 + 1]
+        main = main.at[:, nc3 - 1].add(r[:, 0])
+        main = main.at[:, 0].add(r[:, nc3 + 1])
+        return main
+
+    acc = fold(res[0].reshape(P, Z, ccap, 8))
+    for rk in res[1:]:
+        acc = acc + fold(rk.transpose(0, 2, 1).reshape(P, Z, ccap, 8))
+    return acc.reshape(nc1 * nc2 * nc3 * ccap, 8)
 
 
 def _fwd_vjp(x, charge, atype, mol, box, tabs, cells, consts):

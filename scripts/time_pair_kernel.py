@@ -62,8 +62,8 @@ def main():
 
     tabs = rp._build_tabs(system, f)
     charge = topo.charge.astype(f)
-    atype = topo.atype.astype(f)
-    mol = topo.mol_of.astype(f)
+    atype = topo.atom_type.astype(f)
+    mol = topo.atom_mol.astype(f)
     consts = (float(system.real_space_cutoff), float(system.alpha_sqrt),
               bool(system.has_sapt), int(system.ff.vdw_type.shape[0]))
 
@@ -72,14 +72,17 @@ def main():
     grad = jax.jit(jax.grad(lambda xx: sum(rp.realspace_inter_cells(
         xx, charge, atype, mol, box, tabs, cells, consts))))
 
-    print(f"fwd        {timeit(fwd, x):8.3f} ms")
-    print(f"fwd+grad   {timeit(grad, x):8.3f} ms")
+    print(f"fwd auto   {timeit(fwd, x):8.3f} ms")
+    print(f"f+g auto   {timeit(grad, x):8.3f} ms")
 
-    for impl in ("full",):
+    for impl in ("full", "column"):
         rp.set_stencil_impl(impl)
         fwd2 = jax.jit(lambda xx: rp.realspace_inter_cells(
             xx, charge, atype, mol, box, tabs, cells, consts))
+        grad2 = jax.jit(jax.grad(lambda xx: sum(rp.realspace_inter_cells(
+            xx, charge, atype, mol, box, tabs, cells, consts))))
         print(f"fwd {impl:6s} {timeit(fwd2, x):8.3f} ms")
+        print(f"f+g {impl:6s} {timeit(grad2, x):8.3f} ms")
     rp.set_stencil_impl("auto")
 
     # ---- ablations share the bin/pack code; kernels are stripped

@@ -153,7 +153,10 @@ def test_text_checkpoint_written_and_restart(tmp_path):
     sim3.run(9)
     pe_b = pe_at(log, 9)
     pe_u = pe_at((tmp2 / "log.out").read_text(), 9)
-    assert abs(pe_b - pe_u) <= max(2.0, 2e-3 * abs(pe_u)), (pe_b, pe_u)
+    # measured: .gro rounding (0.001 nm on all 79 atoms at the restart
+    # boundary) propagates to ~4 kJ/mol of PE three steps later; a real
+    # restart bug (wrong velocities/step/topology) is O(100+)
+    assert abs(pe_b - pe_u) <= 15.0, (pe_b, pe_u)
 
 
 def test_text_restart_step_mismatch_stops(tmp_path):

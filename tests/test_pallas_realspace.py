@@ -189,11 +189,14 @@ def test_half_vs_full_stencil(tmp_path):
             rsp.set_stencil_impl("auto")
         return e, g_el, g_vdw
 
-    (ee_h, ev_h), gel_h, gvd_h = both("half")
     (ee_f, ev_f), gel_f, gvd_f = both("full")
-    assert np.isclose(float(ee_h), float(ee_f), rtol=1e-10, atol=1e-8)
-    assert np.isclose(float(ev_h), float(ev_f), rtol=1e-10, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(gel_h), np.asarray(gel_f),
-                               rtol=1e-9, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(gvd_h), np.asarray(gvd_f),
-                               rtol=1e-9, atol=1e-9)
+    for impl in ("half", "column"):
+        (ee_h, ev_h), gel_h, gvd_h = both(impl)
+        assert np.isclose(float(ee_h), float(ee_f), rtol=1e-10,
+                          atol=1e-8), impl
+        assert np.isclose(float(ev_h), float(ev_f), rtol=1e-10,
+                          atol=1e-8), impl
+        np.testing.assert_allclose(np.asarray(gel_h), np.asarray(gel_f),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gvd_h), np.asarray(gvd_f),
+                                   rtol=1e-9, atol=1e-9)

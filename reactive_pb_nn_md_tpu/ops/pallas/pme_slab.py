@@ -127,30 +127,48 @@ def _weight_rows(z, width, order, deriv):
     return (vals[0], dw) if deriv else vals[0]
 
 
-def _spread_slab_kernel(pack_ref, qp_ref, *, P, order):
-    """One program per x-slab b: `order` MXU dot_generals + one
-    (order, P, P) window accumulation at dynamic row start b."""
+def _spread_slab_kernel(pack_ref, qp_ref, acc_ref, *, P, order, G, scap):
+    """One program per GROUP of G consecutive x-slabs.
+
+    The one-slab-per-program version was bound by its serial dependency
+    chain: every program read-modify-writes an (order, P, P) window of
+    the SAME accumulator that the previous program just wrote, so K
+    programs execute as a K-deep latency chain.  Grouping G slabs per
+    program accumulates locally into an (G+order-1, P, P) VMEM scratch
+    (no cross-program dependence) and performs ONE window RMW per
+    program -- the chain shrinks K -> K/G and the per-slab MXU dot is a
+    single wide (scap, order*P) x (scap, P) contraction."""
     b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _():
         qp_ref[...] = jnp.zeros(qp_ref.shape, qp_ref.dtype)
 
-    blk = pack_ref[...]                               # (scap, 8)
-    wy = _weight_rows(blk[:, 1:2], P, order, False)   # (scap, P)
-    wz = _weight_rows(blk[:, 2:3], P, order, False)
-    wxq = _weight_rows(blk[:, 0:1], 8, order, False) * blk[:, 3:4]
-
-    contrib = []
-    for o in range(order):
-        wsc = wy * wxq[:, o:o + 1]                    # (scap, P)
-        c_o = jax.lax.dot_general(
-            wsc, wz, (((0,), (0,)), ((), ())),
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    for g in range(G):
+        blk = pack_ref[g * scap:(g + 1) * scap, :]        # (scap, 8)
+        wy = _weight_rows(blk[:, 1:2], P, order, False)   # (scap, P)
+        wz = _weight_rows(blk[:, 2:3], P, order, False)
+        wxq = _weight_rows(blk[:, 0:1], 8, order, False) * blk[:, 3:4]
+        W6 = jnp.concatenate([wy * wxq[:, o:o + 1] for o in range(order)],
+                             axis=1)                      # (scap, order*P)
+        C = jax.lax.dot_general(
+            W6, wz, (((0,), (0,)), ((), ())),
             preferred_element_type=qp_ref.dtype,
-            precision=jax.lax.Precision.HIGHEST)      # (P, P)
-        contrib.append(c_o)
-    window = qp_ref[pl.ds(b, order), :, :]
-    qp_ref[pl.ds(b, order), :, :] = window + jnp.stack(contrib)
+            precision=jax.lax.Precision.HIGHEST)          # (order*P, P)
+        acc_ref[g:g + order, :, :] = (acc_ref[g:g + order, :, :]
+                                      + C.reshape(order, P, P))
+    span = G + order - 1
+    window = qp_ref[pl.ds(b * G, span), :, :]
+    qp_ref[pl.ds(b * G, span), :, :] = window + acc_ref[...]
+
+
+def _spread_group(K):
+    """Slabs per spread program: largest divisor of K among (8, 4, 2)."""
+    for g in (8, 4, 2):
+        if K % g == 0:
+            return g
+    return 1
 
 
 def _interp_slab_kernel(pack_ref, win_ref, out_ref, *, P, order):
@@ -158,11 +176,11 @@ def _interp_slab_kernel(pack_ref, win_ref, out_ref, *, P, order):
     rows; outputs per-atom [gq, s1, s2, s3] (s = dE/du before the q and
     box-transform factors).
 
-    The slab's `order` (P, P) cotangent windows arrive pre-stacked as one
-    (order*P, P) block (built by XLA in _bwd), so the z-contraction is ONE
-    MXU dot with wz and dwz stacked on the sublane axis -- 12 narrow
-    (scap, P) x (P, P) dots (K and N both padded 69->128 at K=64) become
-    one (2*scap, P) x (P, order*P) dot at ~81% lane utilization."""
+    The slab's `order` (P, P) cotangent windows are sliced IN-KERNEL from
+    the VMEM-resident halo-padded cotangent grid at dynamic row start b
+    (round 4: the former XLA-side (K, order*P, P) window stack was a
+    ~7 MB copy per step), then the z-contraction is ONE MXU dot with wz
+    and dwz stacked on the sublane axis."""
     blk = pack_ref[...]                               # (scap, 8)
     wy, dwy = _weight_rows(blk[:, 1:2], P, order, True)
     wz, dwz = _weight_rows(blk[:, 2:3], P, order, True)
@@ -181,7 +199,8 @@ def _interp_slab_kernel(pack_ref, win_ref, out_ref, *, P, order):
     # surface at the result scale (tests/test_pallas_pme.py would catch
     # it).  Mosaic kernel dots only support DEFAULT / HIGHEST.
     hi = jax.lax.Precision.HIGHEST
-    W = win_ref[0]                                    # (order*P, P)
+    b = pl.program_id(0)
+    W = win_ref[pl.ds(b, order), :, :].reshape(order * P, P)
     wz2 = jnp.concatenate([wz, dwz], axis=0)          # (2*scap, P)
     # M2[u, (o, y)] = sum_z wz2_u(z) W[(o, y), z]
     M2 = jax.lax.dot_general(wz2, W, (((1,), (1,)), ((), ())),
@@ -245,14 +264,17 @@ def _fwd(x, q, box, K, order, scap):
     P = K + order - 1
     pack, slot = _build_pack(x, q, box, K, order, scap)
 
+    G = _spread_group(K)
     qp = pl.pallas_call(
-        functools.partial(_spread_slab_kernel, P=P, order=order),
-        grid=(K,),
+        functools.partial(_spread_slab_kernel, P=P, order=order, G=G,
+                          scap=scap),
+        grid=(K // G,),
         out_shape=jax.ShapeDtypeStruct((P, P, P), f),
-        in_specs=[pl.BlockSpec((scap, 8), lambda b: (b, 0),
+        in_specs=[pl.BlockSpec((G * scap, 8), lambda b: (b, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((P, P, P), lambda b: (0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((G + order - 1, P, P), f)],
         interpret=not _on_tpu(),
     )(pack)
     Q = _fold_halo(qp, K, order)
@@ -264,12 +286,8 @@ def _bwd(K, order, scap, res, gQ):
     f = gQ.dtype
     P = K + order - 1
     gqp = _pad_halo(gQ, K, order)
-    # stack each slab's `order` cotangent windows once in XLA (one
-    # (K, order*P, P) copy, ~7 MB at K=64) so the kernel's z-contraction
-    # is a single wide MXU dot per slab
-    win = jnp.stack([jax.lax.dynamic_slice_in_dim(gqp, o, K, 0)
-                     for o in range(order)], axis=1)   # (K, order, P, P)
-    win = win.reshape(K, order * P, P)
+    # the kernel slices its own `order` overlapping cotangent windows from
+    # the VMEM-resident (P, P, P) padded grid -- no XLA-side window stack
     out = pl.pallas_call(
         functools.partial(_interp_slab_kernel, P=P, order=order),
         grid=(K,),
@@ -277,13 +295,12 @@ def _bwd(K, order, scap, res, gQ):
         in_specs=[
             pl.BlockSpec((scap, 8), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, order * P, P), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # gqp (P, P, P)
         ],
         out_specs=pl.BlockSpec((scap, 8), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         interpret=not _on_tpu(),
-    )(pack, win)
+    )(pack, gqp)
     outp = jnp.concatenate([out, jnp.zeros((1, 8), f)], axis=0)
     g = outp[slot]                                     # (N, 8) row gather
     gq = g[:, 0]

@@ -404,9 +404,10 @@ def run_bench_nn(n_steps=256):
     while done < n_steps:
         ms, diag = scan(ms)
         done += chunk
-    dt = time.perf_counter() - t0
+    pot = float(diag.potential[-1])     # value fetch INSIDE the timing:
+    dt = time.perf_counter() - t0       # block_until_ready is async-leaky
     assert not bool(np.asarray(diag.evb_overflow).any())
-    assert np.isfinite(float(diag.potential[-1]))
+    assert np.isfinite(pot)
     return done / dt
 
 

@@ -165,7 +165,8 @@ _evaluate_forces_jit = jax.jit(evaluate_forces)
 
 @functools.partial(jax.jit, static_argnames=("ensemble",))
 def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
-            friction: float = 0.1, temperature: float = 300.0) -> MDState:
+            friction: float = 0.1, temperature: float = 300.0,
+            bias=None) -> MDState:
     state, topo = ms.state, ms.topo
     mass = system.mass[:, None]
     mobile = velocities.freeze_mask(system, topo)[:, None]
@@ -209,6 +210,15 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
 
     fe = evaluate_forces(x, state.box, topo, system, nlist, cbw, com=com)
     force = fe.force
+    potential = fe.potential
+    if bias is not None:
+        # umbrella restraint (md/bias.py): the bias force enters the same
+        # half-kick as the physical force, and its energy is part of the
+        # conserved quantity reported in `potential`
+        from . import bias as bias_mod
+        be, bf = bias_mod.bias_energy_force(x, state.box, bias)
+        force = force + bf
+        potential = potential + be
 
     # second half kick with new forces
     if compensated:
@@ -240,7 +250,7 @@ def md_step(ms: MDState, system: System, cbw, dt: float, ensemble: str,
             system.pme_scap)
     new_state = State(x=x, v=v, box=state.box, key=key, step=state.step + 1)
     return MDState(state=new_state, topo=fe.topo, nlist=nlist, force=force,
-                   potential=fe.potential, breakdown=fe.breakdown, kinetic=ke,
+                   potential=potential, breakdown=fe.breakdown, kinetic=ke,
                    n_states=fe.n_states, eigenvector=fe.eigenvector,
                    hopped=fe.hopped, force_overflow=force_overflow,
                    nbr_overflow=nbr_over, evb_overflow=fe.evb_overflow,
@@ -260,12 +270,14 @@ class ChunkDiagnostics:
     force_overflow: jnp.ndarray
     nbr_overflow: jnp.ndarray
     evb_overflow: jnp.ndarray
+    # umbrella CV sample (md/bias.py); 0.0 when the scan runs unbiased
+    cv: jnp.ndarray = 0.0
 
 
 @functools.partial(jax.jit, static_argnames=("ensemble", "n_steps"))
 def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
             n_steps: int, friction: float = 0.1,
-            temperature: float = 300.0):
+            temperature: float = 300.0, bias=None):
     """n_steps MD steps in ONE dispatched program (lax.scan).
 
     Device dispatch through the host costs ~30 ms on this TPU stack; the
@@ -274,7 +286,12 @@ def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
 
     def body(ms, _):
         ms = md_step.__wrapped__(ms, system, cbw, dt, ensemble, friction,
-                                 temperature)
+                                 temperature, bias)
+        if bias is not None:
+            from . import bias as bias_mod
+            cv = bias_mod.primary_cv(ms.state.x, ms.state.box, bias)
+        else:
+            cv = jnp.asarray(0.0, ms.potential.dtype)
         diag = ChunkDiagnostics(
             potential=ms.potential, kinetic=ms.kinetic,
             n_states=ms.n_states, hopped=ms.hopped,
@@ -282,7 +299,8 @@ def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
             max_ci2=jnp.max(ms.eigenvector ** 2),
             force_overflow=ms.force_overflow,
             nbr_overflow=ms.nbr_overflow,
-            evb_overflow=ms.evb_overflow)
+            evb_overflow=ms.evb_overflow,
+            cv=cv)
         return ms, diag
 
     return jax.lax.scan(body, ms, None, length=n_steps)
@@ -290,7 +308,8 @@ def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
 
 def initial_md_state(state: State, topo: Topology, system: System, cbw,
                      capacity: int, cells=None,
-                     react_cap: int = None, react_cells=None) -> MDState:
+                     react_cap: int = None, react_cells=None,
+                     bias=None) -> MDState:
     if cells is None:
         cells = neighbors.suggest_cells(system.n_atoms, state.box,
                                         system.verlet_cutoff)
@@ -332,6 +351,10 @@ def initial_md_state(state: State, topo: Topology, system: System, cbw,
     eval_fn = (evaluate_forces if jax.default_backend() == "cpu"
                else _evaluate_forces_jit)
     fe = eval_fn(state.x, state.box, topo, system, nlist, cbw)
+    if bias is not None:
+        from . import bias as bias_mod
+        be, bf = bias_mod.bias_energy_force(state.x, state.box, bias)
+        fe = fe.replace(force=fe.force + bf, potential=fe.potential + be)
     ke = velocities.kinetic_energy(state.v, system.mass)
     comp = (CompCarry(x=jnp.zeros_like(state.x), v=jnp.zeros_like(state.v))
             if system.compensated_sum else None)

@@ -218,3 +218,45 @@ def build_acid_system(n_water=215, n_so3=0, pme_grid=32, seed=0,
                                      system.verlet_cutoff)
     ms = integrators.initial_md_state(state, topo, system, cbw, cap)
     return system, cbw, cfg, ms
+
+
+def soften_for_hops(system, coupling_scale=2.0, da_scale=0.5,
+                    pa_scale=0.5, c12_scale=1.0, c12_pair=("O_h3o", "OW")):
+    """A DOCUMENTED softening of the EVB surface that brings the
+    proton-transfer barrier down to thermally accessible heights, for
+    demonstrating spontaneous (unseeded) proton transport.
+
+    The fixture's published MS-EVB3 constants put the flagship liquid's
+    transfer barrier far above kT at 300-600 K (measured round 4: minimum
+    first-shell diabat gap ~ +145 kJ/mol at |V| ~ 100; no unseeded hop in
+    1 ps at 600 K), so the physics demonstration needs a parameterization
+    whose barrier is O(kT).  Knobs (all physically interpretable):
+
+      coupling_scale : multiplies Vconst (cpl_params[..., 0], eq. 10
+                       prefactor, ms_evb.f90:1196-1231) -- deepens the
+                       adiabatic well at the crossing seam.
+      da_scale       : multiplies the 3-atom donor-acceptor repulsion
+                       prefactor B (da_params[..., 0], eq. 7 of MS-EVB3,
+                       ms_evb.f90:2295-2399) -- cheapens O-O compression.
+      pa_scale       : multiplies the Born-Mayer proton-acceptor prefactor
+                       C (pa_params[..., 0], ms_evb.f90:2405-2478).
+      c12_scale      : multiplies the C12 core of the named LJ cross pair
+                       (default hydronium-O vs water-O) in BOTH orders --
+                       also cheapens bridging R_OO distances.
+
+    Scales default to a mild softening; scripts/spontaneous_hops.py scans
+    them against the umbrella PMF barrier (scripts/umbrella_pmf.py) until
+    the barrier is ~2-4 kT, then measures the unseeded hop rate."""
+    evb = system.evb
+    evb = evb.replace(
+        cpl_params=evb.cpl_params.at[..., 0].mul(coupling_scale),
+        da_params=evb.da_params.at[..., 0].mul(da_scale),
+        pa_params=evb.pa_params.at[..., 0].mul(pa_scale))
+    ff = system.ff
+    if c12_scale != 1.0 and c12_pair:
+        names = list(ff.atype_names)
+        i, j = names.index(c12_pair[0]), names.index(c12_pair[1])
+        vp = ff.vdw_params.at[i, j, 0].mul(c12_scale)
+        vp = vp.at[j, i, 0].mul(c12_scale)
+        ff = ff.replace(vdw_params=vp)
+    return system.replace(evb=evb, ff=ff)

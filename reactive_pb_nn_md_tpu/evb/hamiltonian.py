@@ -29,7 +29,11 @@ from ..models import pme, coupling, repulsion
 from .enumerate import enumerate_diabats, DiabatSet
 from .topology_ops import build_diabat_topologies, DiabatBatch
 
-INACTIVE_DIAG = 1.0e8
+# Span of the inactive-state diagonal park ABOVE the principle diagonal
+# (relative, not absolute: fp32 eigh accuracy is eps * ||H||, so the park
+# must not inflate ||H|| past the point where O(100) couplings drown --
+# see assemble_hamiltonian).  1e5 clears any physical gap by ~100x.
+INACTIVE_DIAG = 1.0e5
 
 
 def _recip_batched(x, box, batch: DiabatBatch, system: System, cbw,
@@ -467,10 +471,18 @@ def assemble_hamiltonian(x, box, batch: DiabatBatch, system: System,
                                 topo0=topo0, base_charge=base_charge,
                                 xa_pc0=xa_pc0)
 
-    # park inactive states far above, with distinct values (degenerate
-    # eigenvalues would break nothing here -- c comes from the active block
-    # -- but keep eigh well-conditioned)
-    diag = jnp.where(active, diag, INACTIVE_DIAG * (1.0 + sidx / S))
+    # park inactive states above the active spectrum, with distinct
+    # values.  The park is RELATIVE to the principle diagonal: an absolute
+    # 1e8 park poisons fp32 eigh -- eps(||H||) = 1e8 * 1.2e-7 = 12 kJ/mol
+    # swamps O(100) couplings and O(200) gaps, and the TPU production path
+    # returned c = (1, 0, ...) with NO adiabatic mixing at a Zundel
+    # crossing (round-5 find: numpy fp64 gave c = (0.89, 0.43, ...) and
+    # the ground state 58 kJ/mol below on the same matrix).  A 1e5 span
+    # above E0 keeps parked rows strictly out of the active spectrum
+    # (gaps are O(10^2-10^3)) at eps(||H||) ~ 0.02 kJ/mol.
+    park = jax.lax.stop_gradient(diag[0]) \
+        + INACTIVE_DIAG * (1.0 + sidx / S)
+    diag = jnp.where(active, diag, park)
     H = jnp.zeros((S, S), x.dtype)
     H = H.at[sidx, sidx].set(diag)
     par = jnp.where(dset.parent >= 0, dset.parent, 0)
@@ -584,8 +596,10 @@ def _pad_states(res: EvbResult, batch: DiabatBatch, S: int):
     H = H.at[:S1, :S1].set(res.hamiltonian)
     # park the padded diagonal like assemble_hamiltonian parks inactive
     # states (diagnostic only -- the eigensolver never sees this matrix)
+    park = jax.lax.stop_gradient(res.hamiltonian[0, 0]) \
+        + INACTIVE_DIAG * (1.0 + sidx[:, None] / S)
     H = jnp.where((sidx[:, None] == sidx[None, :]) & (sidx[:, None] >= S1),
-                  INACTIVE_DIAG * (1.0 + sidx[:, None] / S), H)
+                  park, H)
 
     res = res.replace(
         eigenvector=pad0(res.eigenvector, 0),

@@ -274,15 +274,20 @@ class ChunkDiagnostics:
     cv: jnp.ndarray = 0.0
 
 
-@functools.partial(jax.jit, static_argnames=("ensemble", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("ensemble", "n_steps",
+                                             "unroll"))
 def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
             n_steps: int, friction: float = 0.1,
-            temperature: float = 300.0, bias=None):
+            temperature: float = 300.0, bias=None, unroll: int = 1):
     """n_steps MD steps in ONE dispatched program (lax.scan).
 
     Device dispatch through the host costs ~30 ms on this TPU stack; the
     whole step is jittable, so scanning amortizes that to nothing.  Host
-    interaction (logging, trajectory, checkpoint) happens once per chunk."""
+    interaction (logging, trajectory, checkpoint) happens once per chunk.
+
+    unroll: lax.scan unroll factor -- gives XLA a 2-4 step fusion window
+    against the many-small-op tail (measured on the 10^4-atom config,
+    ROUND_NOTES r5) at the cost of a proportionally bigger program."""
 
     def body(ms, _):
         ms = md_step.__wrapped__(ms, system, cbw, dt, ensemble, friction,
@@ -303,7 +308,7 @@ def md_scan(ms: MDState, system: System, cbw, dt: float, ensemble: str,
             cv=cv)
         return ms, diag
 
-    return jax.lax.scan(body, ms, None, length=n_steps)
+    return jax.lax.scan(body, ms, None, length=n_steps, unroll=unroll)
 
 
 def initial_md_state(state: State, topo: Topology, system: System, cbw,

@@ -171,6 +171,21 @@ class Simulation:
                                        self.cfg.baroscale, self.cfg.seed)
 
     # ------------------------------------------------------------------
+    def mutate_system(self, fn):
+        """Apply fn(system) -> system before run(): the public hook for
+        parameter-level surgery the file formats cannot express -- attach
+        trained PB-NN coupling params (nn/train.py) with cpl_func=3, or a
+        documented softening (run/presets.soften_for_hops).  Re-evaluates
+        the initial force state under the new parameters so the first
+        half-kick is consistent."""
+        self.system = fn(self.system)
+        self.ms = integrators.initial_md_state(
+            self.ms.state, self.ms.topo, self.system, self.cbw,
+            self.capacity, self.cells, react_cap=self.react_cap,
+            react_cells=self.react_cells)
+        self._retry_capacity_if_overflow()
+
+    # ------------------------------------------------------------------
     def _retry_capacity_if_overflow(self):
         # the overflow flag is shared by the half list, full adjacency,
         # reactive adjacency and cell buckets -- grow them all (they are

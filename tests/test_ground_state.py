@@ -9,11 +9,15 @@ import pytest
 from reactive_pb_nn_md_tpu.ops.ground_state import (ground_state,
                                                     ground_state_eigh)
 
-INACTIVE = 1.0e8
+# span of the inactive park ABOVE the principle diagonal -- mirrors
+# evb.hamiltonian.INACTIVE_DIAG (relative parking; an absolute 1e8 park
+# destroyed fp32 eigh mixing, see test_f32_eigh_mixing_production_scale)
+INACTIVE = 1.0e5
 
 
 def _evb_like(S, n_active, rng, diag_spread=50.0, coupling=30.0, gap=None):
-    """Padded EVB Hamiltonian: tree-sparse couplings, huge inactive diag."""
+    """Padded EVB Hamiltonian: tree-sparse couplings, parked inactive
+    diag (relative to the principle diagonal, as the engine builds it)."""
     diag = -24000.0 + diag_spread * rng.standard_normal(S)
     if gap is not None:
         diag[1] = diag[0] + gap            # engineered near-degeneracy
@@ -23,7 +27,7 @@ def _evb_like(S, n_active, rng, diag_spread=50.0, coupling=30.0, gap=None):
         v = coupling * rng.standard_normal()
         H[p, s] = H[s, p] = v
     for s in range(n_active, S):
-        H[s, s] = INACTIVE * (1.0 + s / S)
+        H[s, s] = diag[0] + INACTIVE * (1.0 + s / S)
         H[s, :s] = H[:s, s] = 0.0
     return jnp.asarray(H, jnp.float64)
 
@@ -57,6 +61,39 @@ def test_f32_accuracy():
     # f32 resolution on a ~2.4e4 magnitude: ~1e-2 absolute
     assert abs(float(lam_i) - float(lam_e)) < 5e-2
     assert float(jnp.abs(jnp.abs(c_i.astype(jnp.float64) @ c_e) - 1.0)) < 1e-5
+
+
+def test_f32_eigh_mixing_production_scale():
+    """REGRESSION (round-5 find): fp32 ground_state_eigh must recover the
+    adiabatic mixing of a production-scale EVB matrix -- |H00| ~ 8.7e3
+    kJ/mol, gap ~ 190, coupling ~ -110, S = 80 padded.  Before the
+    relative-park + spectral-shift fix, fp32 eigh returned c = (1, 0, ...)
+    (NO mixing) on exactly this matrix shape: the absolute 1e8 park made
+    eps * ||H|| ~ 12 kJ/mol, and the unshifted |H00| another ~1e-3
+    relative floor; the TPU reactive path lost the Zundel crossing
+    entirely (coupling strength had zero effect on dynamics)."""
+    S, n_active = 80, 19
+    rng = np.random.default_rng(5)
+    diag = -8700.0 + 400.0 * rng.random(S)
+    diag[0] = -8700.0
+    diag[1] = diag[0] + 190.0              # first-shell acceptor
+    H = np.diag(diag)
+    H[0, 1] = H[1, 0] = -110.0             # strong Zundel coupling
+    for s in range(2, n_active):
+        H[0, s] = H[s, 0] = -30.0 * rng.random()
+    for s in range(n_active, S):
+        H[s, s] = diag[0] + INACTIVE * (1.0 + s / S)
+        H[s, :s] = H[:s, s] = 0.0
+
+    w64, v64 = np.linalg.eigh(H[:n_active, :n_active])
+    c_ref = v64[:, 0]
+    assert 0.2 < abs(c_ref[1]) < 0.9       # the matrix genuinely mixes
+
+    lam32, c32 = ground_state_eigh(jnp.asarray(H, jnp.float32))
+    c32 = np.asarray(c32, np.float64)[:n_active]
+    overlap = abs(c32 @ c_ref)
+    assert overlap > 0.999, f"fp32 eigh lost the mixing: overlap {overlap}"
+    assert abs(float(lam32) - w64[0]) < 0.5, (float(lam32), w64[0])
 
 
 def test_residual_is_small_under_jit_vmap():

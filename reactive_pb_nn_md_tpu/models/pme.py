@@ -272,8 +272,15 @@ def recip_delta_perstate(x_u, u_mask, dq, box, K, order, cbw, F0):
         # state-axis chunking keeps the kernel's live (blk*Sc, Mp)
         # spectrum blocks inside scoped VMEM at large caps (S=80, K=64
         # OOMed at one chunk); each chunk is an independent custom-vjp
-        # kernel call, so autodiff composes through the concatenate
-        Sc = max(8, min(128, MAX_BLOCK_ELEMS // (_blk(K, S, Mp) * Mp)
+        # kernel call, so autodiff composes through the concatenate.
+        # Ceiling 80 (not 128): under a replica vmap the batched program
+        # tiles carry the batch factor -- at K=32, R=16 the FORWARD
+        # overflowed scoped VMEM at a 104-state chunk (by 1%) and the
+        # BACKWARD (7 live output blocks) at 96 (24.6M vs 16M), while 80
+        # is measured-good (the S=80 16-replica ladder compiles and
+        # runs).  Changes nothing for S<=80 configs -- the production cap
+        # still runs one chunk.
+        Sc = max(8, min(80, MAX_BLOCK_ELEMS // (_blk(K, S, Mp) * Mp)
                         // 8 * 8))
         parts = []
         for s0 in range(0, S, Sc):

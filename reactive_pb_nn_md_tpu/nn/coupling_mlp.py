@@ -28,6 +28,10 @@ w.r.t. nn_params).
 import jax
 import jax.numpy as jnp
 
+# upper bound of the sigmoid output head (see apply_mlp): the analytic
+# surfaces peak at ~1.25 over the admissible (q2, R_OO) range
+A_MAX = 2.5
+
 
 def init_mlp(key, hidden=(16, 16), vconst=-100.0, dtype=jnp.float32,
              n_env=0):
@@ -59,4 +63,13 @@ def apply_mlp(params, q2, roo, env=None):
     for w, b in zip(params["w"][:-1], params["b"][:-1]):
         h = jnp.tanh(h @ w + b)
     out = h @ params["w"][-1] + params["b"][-1]
-    return out.reshape(())
+    # bounded head: A_nn in (0, A_MAX).  Both analytic geometric factors
+    # live in [0, ~1.3] over the candidate-admissible geometry range; a
+    # raw linear head extrapolates unboundedly on the strained mid-hop
+    # geometries a REACTIVE trajectory visits (round-5: a pretrained-only
+    # MLP drove |F| past the 1e4 abort in a production run), while the
+    # sigmoid bound also caps the force contribution (|dA/draw| <=
+    # A_MAX/4).  Positivity matches the physics: A is an overlap-decay
+    # envelope, and the coupling's sign lives in Vconst (eq. 10/11 of the
+    # MS-EVB3 paper; ms_evb.f90:1196-1263).
+    return (A_MAX * jax.nn.sigmoid(out)).reshape(())

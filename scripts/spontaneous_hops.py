@@ -83,6 +83,8 @@ def run_window(scales, n_steps, temperature, collect_events=False,
     n_max = 0
     events = []
     identity_ok = True
+    n_evb_over = 0
+    n_force_over = 0
     while done < n_steps:
         ms, diag = scan(ms)
         hopped = np.asarray(diag.hopped)
@@ -93,7 +95,7 @@ def run_window(scales, n_steps, temperature, collect_events=False,
                                     else hyds[0]], hyds[:-1]])
             for i in np.flatnonzero(hopped):
                 events.append({
-                    "step": done + i + 1,
+                    "step": int(done + i + 1),
                     "time_ps": round(float((done + i + 1) * cfg.delta_t),
                                      4),
                     "from_mol": int(prev[i]), "to_mol": int(hyds[i]),
@@ -101,14 +103,22 @@ def run_window(scales, n_steps, temperature, collect_events=False,
         hops += int(hopped.sum())
         n_max = max(n_max, int(ns.max()))
         done += chunk
-        if bool(np.asarray(diag.evb_overflow).any()):
+        n_evb_over += int(np.asarray(diag.evb_overflow).sum())
+        n_force_over += int(np.asarray(diag.force_overflow).sum())
+        if n_evb_over or n_force_over:
             identity_ok = False
     dt = time.perf_counter() - t0
     out = {"scales": list(scales), "temperature": temperature,
            "steps": done, "window_ps": round(done * cfg.delta_t, 2),
            "hops": hops, "max_states": n_max,
            "steps_per_s": round(done / dt, 1),
-           "clean": identity_ok}
+           "clean": identity_ok,
+           # attribution: steps with a truncated state set vs steps with
+           # a transient |F| > 1e4 kJ/mol/A (the reference's abort
+           # threshold, md_integration.f90:523-526 -- strained mid-hop
+           # geometries can brush it without going non-finite)
+           "steps_evb_overflow": n_evb_over,
+           "steps_force_over_1e4": n_force_over}
     if collect_events:
         out["events"] = events
     return out
@@ -152,17 +162,25 @@ def main():
         return
 
     if args.final:
+        import numpy as np
         import bench
         sc = tuple(args.scales) if args.scales else tuple(
             bench.SPONT_SCALES[k] for k in
             ("coupling_scale", "da_scale", "pa_scale", "c12_scale"))
         r = run_window(sc, args.steps, args.temp, collect_events=True)
+        ev = r["events"]
+        if ev:
+            mols = ({e["to_mol"] for e in ev}
+                    | {e["from_mol"] for e in ev})
+            gaps = np.diff([e["time_ps"] for e in ev])
+            r["distinct_molecules_visited"] = len(mols)
+            r["mean_identity_survival_ps"] = (round(float(gaps.mean()), 5)
+                                              if gaps.size else None)
+            r["hops_per_ps"] = round(len(ev) / r["window_ps"], 2)
         path = pathlib.Path(args.out)
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(json.dumps(r, indent=1))
-        print(json.dumps({k: r[k] for k in
-                          ("scales", "temperature", "steps", "window_ps",
-                           "hops", "max_states", "steps_per_s", "clean")}))
+        print(json.dumps({k: v for k, v in r.items() if k != "events"}))
         print(f"# hop-event artifact -> {path} "
               f"({len(r['events'])} events)")
         return

@@ -37,7 +37,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
 def run_pmf(n_windows=16, span=0.65, k_spring=400.0, k_roo=100.0,
             r_oo=2.5, n_equil=1500, n_sample=6000, chunk=250,
             temperature=300.0, evb_max_states=48, small=False,
-            friction=5.0, build=None, verbose=True):
+            friction=5.0, build=None, verbose=True, max_vmap=None,
+            dimer=False):
     """Returns (result dict, batch).  `build` optionally injects a custom
     (system, cbw, cfg, ms) tuple (bench.py passes the equilibrated
     flagship; tests pass a tiny box)."""
@@ -52,6 +53,21 @@ def run_pmf(n_windows=16, span=0.65, k_spring=400.0, k_roo=100.0,
     t0 = time.time()
     if build is not None:
         system, cbw, cfg, ms = build
+    elif dimer:
+        # the isolated Zundel pair H3O+ . H2O in a 10 A box: the CLEAN
+        # transfer-PMF system.  In the bulk liquid the excess proton
+        # escapes a restrained pair through the hydronium's OTHER protons
+        # (measured round 5: windows wander, state sets overflow, WHAM
+        # sees a mixture of reactions), which is a real feature of fast
+        # Grotthuss transport, not a fixable protocol detail -- a bulk
+        # transfer PMF needs an indicator coordinate (CEC).  The dimer
+        # has nowhere to wander: identity can only swap WITHIN the
+        # restrained pair, so F(xi | R_OO) is exactly the textbook Zundel
+        # double well and its R_OO dependence is the O-O compression
+        # story (cf. the reference's geometry factor, ms_evb.f90:
+        # 1117-1266).
+        system, cbw, cfg, ms = g._build(n_water=1, pme_grid=16,
+                                        evb_max_states=16, spacing=5.0)
     elif small:
         system, cbw, cfg, ms = g._build(n_water=26, pme_grid=16,
                                         evb_max_states=evb_max_states)
@@ -78,20 +94,51 @@ def run_pmf(n_windows=16, span=0.65, k_spring=400.0, k_roo=100.0,
               f"k = {k_spring}, keeper k_roo = {k_roo} @ {r_oo} A",
               flush=True)
 
-    batch = umbrella.seeded_window_states(ms, system, cbw, atoms, centers,
-                                          r_oo=r_oo,
-                                          temperature=temperature,
-                                          ladder=ladder)
+    # Caps past the production 80 switch the per-diabat reciprocal delta
+    # to the XLA spectrum matmul: the Pallas kernel's BACKWARD holds ~7
+    # live blocks per program, the replica vmap multiplies them by the
+    # batch width, and the per-chunk scoped allocations CO-allocate --
+    # at S = 112 the ladder exceeds the 16 MB scoped-VMEM limit at
+    # compile time for every (chunk, vmap-width) split tried (round 5).
+    # The XLA path trades ~15% step time for HBM-resident spectra.
+    if system.evb_max_states > 80:
+        from reactive_pb_nn_md_tpu.models import pme as _pme
+        _pme.set_perstate_impl("xla")
+    # max_vmap: optional vmap-group width (groups run sequentially
+    # through ONE compiled scan); the chip saturates by ~8-16 replicas
+    # of the 649-atom box (R=16 aggregate 389 vs R=64's 357, r3 notes).
+    if max_vmap is None:
+        max_vmap = n_windows
     scan = umbrella.make_ladder_scan(system, cbw, cfg.delta_t, "NVT",
                                      chunk, friction=friction,
                                      temperature=temperature)
+    groups = [slice(g, min(g + max_vmap, n_windows))
+              for g in range(0, n_windows, max_vmap)]
     t_compile0 = time.time()
-    batch, diag = scan(batch, ladder)     # compile + first chunk
-    float(np.asarray(diag.potential)[-1, -1])
-    t_run0 = time.time()
-    batch, cv, info = umbrella.sample_ladder(
-        scan, batch, ladder, n_equil=max(0, n_equil - chunk),
-        n_sample=n_sample, chunk=chunk)
+    t_run0 = None
+    cvs, batches = [], []
+    info = {"hops": 0, "overflow": False, "steps_equil": 0,
+            "steps_sampled": 0}
+    for gi, sl in enumerate(groups):
+        lad_g = jax.tree_util.tree_map(lambda a: a[sl], ladder)
+        batch = umbrella.seeded_window_states(
+            ms, system, cbw, atoms, centers[sl], r_oo=r_oo,
+            temperature=temperature, ladder=lad_g)
+        batch, diag = scan(batch, lad_g)   # compile (group 0) + chunk 1
+        float(np.asarray(diag.potential)[-1, -1])
+        if t_run0 is None:
+            t_run0 = time.time()
+        batch, cv_g, info_g = umbrella.sample_ladder(
+            scan, batch, lad_g, n_equil=max(0, n_equil - chunk),
+            n_sample=n_sample, chunk=chunk)
+        cvs.append(cv_g)
+        batches.append(batch)
+        info["hops"] += info_g["hops"]
+        info["overflow"] = info["overflow"] or info_g["overflow"]
+        info["steps_equil"] = info_g["steps_equil"]
+        info["steps_sampled"] = info_g["steps_sampled"]
+    cv = np.concatenate(cvs, axis=0)
+    batch = batches[-1]
     wall = time.time() - t_run0
     agg = n_windows * (info["steps_equil"] + info["steps_sampled"]) / wall
 
@@ -143,6 +190,8 @@ def main():
     ap.add_argument("--states", type=int, default=48)
     ap.add_argument("--small", action="store_true",
                     help="tiny 26-water box (CPU-feasible smoke run)")
+    ap.add_argument("--dimer", action="store_true",
+                    help="isolated Zundel pair (clean transfer PMF)")
     ap.add_argument("--out", default="benchdata/pmf_flagship.json")
     args = ap.parse_args()
 
@@ -150,7 +199,8 @@ def main():
                      k_spring=args.k, k_roo=args.k_roo, r_oo=args.r_oo,
                      n_equil=args.equil, n_sample=args.sample,
                      chunk=args.chunk, temperature=args.temperature,
-                     evb_max_states=args.states, small=args.small)
+                     evb_max_states=args.states, small=args.small,
+                     dimer=args.dimer)
     path = pathlib.Path(args.out)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(out, indent=1))

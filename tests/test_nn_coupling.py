@@ -119,10 +119,12 @@ def test_nn_coupling_learns_analytic_surface(tmp_path):
     e_raw = efn(nn_raw, xs, fidx, pj, pm)
     rmse_raw = float(jnp.sqrt(jnp.mean((e_raw - e_ref) ** 2)))
 
-    # 800 steps: clears the 0.25x recovery threshold at ~1/3 the wall time
-    # of the original 2000 (suite-time finding, ADVICE r2)
+    # 1600 steps: the bounded sigmoid output head (round 5,
+    # nn/coupling_mlp.A_MAX) converges a little slower early on than the
+    # old raw-linear head (800 steps: rmse 0.104; 1600: 0.028 -- measured
+    # on this fixture), so the step count doubled to clear the thresholds
     nn, rmse_a = nt.pretrain_geometric(row, jax.random.PRNGKey(1),
-                                       steps=800)
+                                       steps=1600)
     assert rmse_a < 0.08  # A-surface fit (labels span ~[0.1, 1.1])
     e_pre = efn(nn, xs, fidx, pj, pm)
     rmse_pre = float(jnp.sqrt(jnp.mean((e_pre - e_ref) ** 2)))
